@@ -1,0 +1,69 @@
+"""Per-host politeness budgets — the token bucket as a table.
+
+The reference throttles with one *global* token bucket: ``Take(count)``
+refills ``fillQuantum`` per elapsed ``fillInterval``, caps at ``capacity``
+and returns the wait (``ratelimit.go:69-105``; defaults capacity 100,
+10 tokens/s, initial 100 — ``ratelimit.go:27-33``).  Its dead-code ``limit``
+type (``limit.go:5-15``) shows per-host politeness was intended; the north
+rule requires it.  We re-express the bucket as a **per-host budget table**
+``(host, tokens, refill_superstep)`` — deterministic by construction, no
+sleeping:
+
+    gained(s)    = floor((s - refill_superstep) / crawl_delay)   if crawl_delay d > 0
+                 = fill_quantum * (s - refill_superstep)          otherwise
+    available(s) = min(capacity, tokens + gained(s))
+    missing row  = min(capacity, initial_tokens)
+
+After a wave, **only hosts that received grants get a new row**
+``(available - granted, s)``; ungranted hosts keep their old row so partial
+refill intervals keep accumulating (updating refill_superstep every step
+would strand crawl-delay hosts at zero forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+
+BUDGETS_SCHEMA = "host string, tokens long, refill_superstep int"
+
+
+def available_tokens(hosts: DataFrame, budgets: DataFrame,
+                     robots: DataFrame | None, cfg: CrawlConfig,
+                     superstep: int) -> DataFrame:
+    """(host) -> (host, avail:long). ``hosts`` must be distinct host rows."""
+    df = hosts.join(budgets, "host", "left")
+    if robots is not None and cfg.use_crawl_delay:
+        df = df.join(robots.select("host", "crawl_delay"), "host", "left")
+    else:
+        df = df.withColumn("crawl_delay", F.lit(None).cast("int"))
+    elapsed = F.lit(superstep) - F.col("refill_superstep")
+    gained = F.when(
+        F.coalesce(F.col("crawl_delay"), F.lit(0)) > 0,
+        F.floor(elapsed / F.col("crawl_delay")),
+    ).otherwise(elapsed * F.lit(cfg.fill_quantum))
+    avail = F.when(
+        F.col("tokens").isNull(),
+        F.lit(min(cfg.bucket_capacity, cfg.initial_tokens)),
+    ).otherwise(
+        F.least(F.lit(cfg.bucket_capacity), F.col("tokens") + gained)
+    )
+    return df.select("host", avail.cast("long").alias("avail"))
+
+
+def updated_budgets(budgets: DataFrame, grants: DataFrame,
+                    superstep: int) -> DataFrame:
+    """Fold this superstep's grants into the budget table.
+
+    ``grants``: (host, avail, granted) with granted > 0 only.  Granted hosts
+    get ``(avail - granted, superstep)``; everyone else keeps their row.
+    """
+    new_rows = grants.select(
+        "host",
+        (F.col("avail") - F.col("granted")).cast("long").alias("tokens"),
+        F.lit(superstep).cast("int").alias("refill_superstep"),
+    )
+    kept = budgets.join(grants.select("host"), "host", "left_anti")
+    return kept.unionByName(new_rows)

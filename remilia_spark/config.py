@@ -1,0 +1,44 @@
+"""Engine configuration.
+
+Politeness and retry defaults mirror the reference's constants:
+token bucket capacity 100, refill 10 tokens/interval, initial 100
+(``ratelimit.go:27-33``); backoff minDelay 1s, maxDelay 50s, multiplier 2.0,
+maxAttempt 10 (``backoff.go:40-46``).  One superstep plays one second of
+reference wall-clock (delays/refills quantize to supersteps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # pipeline shape: n layers in the reference = max_depth + 1 here; pages
+    # at depth == max_depth are fetched + text-extracted but their links are
+    # discarded (the reference disables the last layer's put, pipeline.go:45-46)
+    max_depth: int = 1
+    max_supersteps: int = 64
+    wave_size: int | None = None  # optional global per-superstep fetch cap
+
+    # politeness (per-host token bucket; ratelimit.go:27-33 defaults)
+    bucket_capacity: int = 100
+    fill_quantum: int = 10       # tokens gained per superstep
+    initial_tokens: int = 100
+    use_crawl_delay: bool = True  # robots crawl_delay d => 1 token / d steps
+
+    # retry (backoff.go:40-46 defaults; full jitter, hash-seeded)
+    min_delay: float = 1.0
+    max_delay: float = 50.0
+    multiplier: float = 2.0
+    max_attempt: int = 10
+
+    # scale knobs
+    shuffle_partitions: int = 32
+    rank_partitions: int = 32          # range partitions for global ranking
+    skew_threshold: int = 50_000       # pending rows per host before salting
+    broadcast_wave_max: int = 2_000_000  # wave rows under which to hint broadcast
+    bloom_enabled: bool = True
+    bloom_num_buckets: int = 64
+    bloom_bits_per_key: int = 12
+    bloom_num_hashes: int = 6

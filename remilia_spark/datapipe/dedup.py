@@ -1,0 +1,155 @@
+"""Deduplication operators over a documents table.
+
+All the *candidate generation* here is pure Spark built-ins — MinHash is an
+explode + min-groupBy (JVM, codegen), not a Python loop — so the operators
+scale exactly like any other shuffle and stay DuckDB-oracle-checkable.
+
+Scale notes (100 TB):
+* exact dedup shuffles (hash, doc) pairs — hash first, shuffle the 16-byte
+  digest, never the document text;
+* MinHash explodes docs × shingles × permutations; with k-word shingles and
+  P permutations the blow-up is bounded by P × n_tokens and is map-side
+  combinable (partial min per permutation before the shuffle);
+* band buckets are skew-prone (boilerplate shingles) — the pair join filters
+  ``a < b`` and dedupes pairs before the (expensive) verify stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col, word_hash
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_hash, group_size, is_canonical) — md5 exact dedup.
+
+    Canonical row = smallest doc_id in its hash group (deterministic).
+    """
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select("doc_id", h)
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "is_canonical",
+            F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles of lowercased text."""
+    toks = F.transform(tokens_col(F.lower(F.col(text_col))),
+                       lambda w: w)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
+    ).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks)))
+                 .otherwise(F.array().cast("array<string>")))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       k: int = 3, num_perm: int = 16) -> DataFrame:
+    """(doc_id, perm, minhash) — min over shingles of h_p(shingle).
+
+    h_p(s) = word_hash(s || '|' || p): one md5 family member per
+    permutation — entirely built-in expressions, map-side combinable.
+    """
+    sh = shingles(df, text_col, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id", "perm",
+            word_hash(F.concat_ws("|", "shingle", "perm")).alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", k: int = 3,
+                        num_perm: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs from banded MinHash.
+
+    rows-per-band r = num_perm / bands; band key = md5 of the concatenated
+    minhashes of that band; pairs = docs sharing any band key (a < b).
+    """
+    r = num_perm // bands
+    sig = minhash_signatures(df, text_col, k, num_perm) \
+        .withColumn("band", (F.col("perm") / F.lit(r)).cast("int"))
+    band_keys = (
+        sig.groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(
+            F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("bkey"))
+    )
+    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (rounded 6dp)."""
+    sets = shingles(df, text_col, k).groupBy("doc_id") \
+        .agg(F.collect_set("shingle").alias("sh"))
+    j = (
+        pairs
+        .join(sets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            k: int = 3, num_perm: int = 16, bands: int = 4,
+                            threshold: float = 0.5) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: (doc_a, doc_b, jaccard)."""
+    pairs = lsh_candidate_pairs(df, text_col, k, num_perm, bands)
+    return jaccard_pairs(df, pairs, text_col, k, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            bits: int = 48) -> DataFrame:
+    """(doc_id, simhash) — term-frequency-weighted SimHash, ``bits`` wide.
+
+    Per bit b: sign of Σ_w cnt(w)·(bit_b(word_hash(w)) ? +1 : -1); the
+    fingerprint packs the positive bits as Σ 2^b (exact: powers of two are
+    exact doubles below 2^53... we stay in integer math via shiftleft on a
+    literal-free path: CAST(POW(2,b) AS BIGINT), exact for b < 63).
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w"))
+    counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counts.withColumn("h", word_hash(F.col("w")))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        hashed.select("doc_id", "h", "cnt", b)
+        .select(
+            "doc_id", "b",
+            # shiftright needs a literal shift in Spark; h DIV 2^b is exact
+            # (POW(2,b) is an exact double for b < 63)
+            F.when(F.expr("(h DIV CAST(POW(2.0D, b) AS BIGINT)) % 2") == 1,
+                   F.col("cnt")).otherwise(-F.col("cnt")).alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0,
+                     F.pow(F.lit(2.0), F.col("b")).cast("long"))
+              .otherwise(F.lit(0))).cast("long").alias("simhash"))

@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads ride as opaque ``binary`` columns with typed metadata —
+exactly like the crawl engine's ``html:binary``.  The Spark-side machinery
+(schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning) is
+real and tested; the codec calls themselves are stubbed because this
+container ships no media libraries (Pillow/ffmpeg):
+
+* ``decode_stub=True`` (default) runs a deterministic fake decoder so the
+  full distributed path executes end-to-end and is testable;
+* ``decode_stub=False`` raises ``NotImplementedError`` at the exact seam a
+  real decoder (PIL.Image.open / av.open) plugs into.
+
+Batch-size note for 100 TB: media rows are orders of magnitude wider than
+text — callers should set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+low (e.g. 64) and partition by size, not row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "width int, height int, duration_ms int")
+
+FEATURES_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes long"
+
+THUMB_SCHEMA = "media_id long, thumb binary, thumb_w int, thumb_h int"
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a pixel/sample decode: a dim-length
+    float feature derived from byte statistics (stable across runs)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    a = np.frombuffer(payload, dtype=np.uint8)
+    chunks = np.array_split(a.astype(np.float32), dim)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                    dtype=np.float32) / 255.0
+
+
+def extract_features(df: DataFrame, dim: int = 8,
+                     decode_stub: bool = True) -> DataFrame:
+    """binary payload -> fixed-width float feature, via mapInPandas."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode needs Pillow/av; plug in here")
+            feats = [
+                _fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0),
+            })
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        fn, FEATURES_SCHEMA)
+
+
+def thumbnail(df: DataFrame, max_side: int = 32,
+              decode_stub: bool = True) -> DataFrame:
+    """Resize stub: passes byte-truncated payloads through the real
+    Arrow/binary plumbing (a real impl swaps the body, not the shape)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize needs Pillow; plug in here")
+            cap = max_side * max_side
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "thumb": pdf["payload"].map(
+                    lambda p: bytes(p[:cap]) if p is not None else b""),
+                "thumb_w": [min(max_side, int(w) if w else 0)
+                            for w in pdf["width"]],
+                "thumb_h": [min(max_side, int(h) if h else 0)
+                            for h in pdf["height"]],
+            })
+
+    return df.select("media_id", "payload", "width", "height").mapInPandas(
+        fn, THUMB_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 decode_stub: bool = True) -> DataFrame:
+    """Video frame sampling stub: one row per sampled timestamp; the
+    explode happens in Spark (scales), only the decode is faked."""
+    from pyspark.sql import functions as F
+
+    ts = F.explode(
+        F.sequence(F.lit(0),
+                   F.greatest(F.coalesce("duration_ms", F.lit(0)) - 1,
+                              F.lit(0)),
+                   F.lit(every_ms))).alias("frame_ms")
+    frames = df.where(F.col("kind") == "video").select(
+        "media_id", "kind", "payload", ts)
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction needs av/ffmpeg; plug in here")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_ms": pdf["frame_ms"],
+                "frame_feature": [
+                    _fake_decode(
+                        (bytes(p) if p is not None else b"") + int(t).to_bytes(4, "little"),
+                        8).tolist()
+                    for p, t in zip(pdf["payload"], pdf["frame_ms"])],
+            })
+
+    return frames.mapInPandas(
+        fn, "media_id long, frame_ms long, frame_feature array<float>")

@@ -1,0 +1,96 @@
+"""Text analysis over a documents table — pure column math, no Python UDFs.
+
+Every operator here compiles to whole-stage-codegen JVM expressions and has
+an exact ANSI-SQL twin for the DuckDB oracle.  Shared conventions:
+
+* tokens        = regexp-split on whitespace of trimmed text ('' -> 0 tokens)
+* word hash     = first 15 hex digits of md5, as a 60-bit BIGINT — the same
+  value in Spark (``conv(substr(md5(w),1,15),16,10)``) and DuckDB
+  (``('0x' || substr(md5(w),1,15))::BIGINT``)
+* ratios rounded to 6 dp so both engines hash identically
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small pinned English stopword list (lowercase) for the ratio + lang-ID
+# heuristics; must match the SQL literal list in __spark_entry__.
+STOPWORDS = (
+    "the", "of", "and", "to", "a", "in", "is", "it", "that", "was", "for",
+    "on", "are", "with", "as", "at", "be", "this", "have", "from",
+)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword heuristics + a composite score.
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*stopword_ratio
+          + 0.3*(1 - min(1, 4*punct_ratio)), rounded to 6 dp.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, F.lower(w))))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_chars = F.length(t)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio))
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: >= 3 distinct English stopwords -> 'en'.
+
+    (A deliberately SQL-expressible n-gram-free heuristic so the oracle can
+    replicate it exactly; a real pipeline would plug fastText here — the
+    operator shape, a pure projection, stays identical.)
+    """
+    toks = tokens_col(F.col(text_col))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.array_distinct(
+        F.filter(toks, lambda w: F.array_contains(stops, F.lower(w)))))
+    return df.select(
+        "doc_id",
+        hits.cast("int").alias("stopword_hits"),
+        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+def word_hash(col: Column) -> Column:
+    """60-bit md5-derived hash — DuckDB-replicable (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — 60-bit fingerprint of lowercase-trimmed text."""
+    return df.select(
+        "doc_id",
+        word_hash(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+    )

@@ -1,0 +1,102 @@
+"""Engine — construction + the batch-iterative driver loop.
+
+``Engine(spark, cfg)`` mirrors the reference's ``New(opts...)``
+(``remilia.go:42-78``): assemble config + handles, spawn nothing.
+``run(...)`` mirrors ``rem.Do(provider, layers...)``
+(``remilia.go:178-185``): the provider becomes the seed frontier, each layer
+becomes one superstep depth, and the channel pipeline becomes a driver-side
+loop of checkpointed DataFrame jobs (supersteps are barriers — the one
+deliberate architecture change vs the reference's free-running stages,
+required for determinism + resume).
+
+Resume: state is only visible through commit manifests, so
+``run(resume=True)`` continues from ``storage.last_committed()`` — an
+interrupted superstep left no manifest and is recomputed identically (no
+duplicate fetches; tests pin this).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import CrawlConfig
+from .frontier import run_superstep, seed_frontier
+from .storage import (
+    BUDGETS_SCHEMA,
+    METRICS_SCHEMA,
+    RESULTS_SCHEMA,
+    SEEN_SCHEMA,
+    ParquetSnapshotStorage,
+)
+
+
+@dataclass
+class CrawlRun:
+    storage: ParquetSnapshotStorage
+    last_superstep: int
+    stats: list[dict] = field(default_factory=list)
+
+    def results(self) -> DataFrame | None:
+        return self.storage.read_deltas("results", self.last_superstep,
+                                        RESULTS_SCHEMA)
+
+    def seen(self) -> DataFrame | None:
+        return self.storage.read_deltas("seen", self.last_superstep,
+                                        SEEN_SCHEMA)
+
+    def metrics(self) -> DataFrame | None:
+        return self.storage.read_deltas("metrics", self.last_superstep,
+                                        METRICS_SCHEMA)
+
+    def frontier(self) -> DataFrame:
+        return self.storage.read_snapshot("frontier", self.last_superstep)
+
+    def fetch_events(self) -> DataFrame | None:
+        """Fetch log in canonical crawl order (the ordering fixture)."""
+        r = self.results()
+        if r is None:
+            return None
+        return r.orderBy("superstep", "depth", "host_rank", "discovery_order")
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+
+    def run(
+        self,
+        pages: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame | None,
+        state_dir: str | Path,
+        resume: bool = False,
+        max_supersteps: int | None = None,
+    ) -> CrawlRun:
+        cfg = self.cfg
+        storage = ParquetSnapshotStorage(self.spark, state_dir)
+        last = storage.last_committed() if resume else None
+        if last is None:
+            frontier0, seen0 = seed_frontier(self.spark, seeds, robots)
+            budgets0 = self.spark.createDataFrame([], BUDGETS_SCHEMA)
+            storage.commit(0, {"frontier": frontier0, "budgets": budgets0,
+                               "seen": seen0})
+            last = 0
+
+        limit = max_supersteps if max_supersteps is not None \
+            else cfg.max_supersteps
+        run = CrawlRun(storage=storage, last_superstep=last)
+        s = last
+        while s < limit:
+            stats = run_superstep(self.spark, storage, pages, robots, cfg, s)
+            run.stats.append(stats)
+            s += 1
+            run.last_superstep = s
+            # done when the committed frontier carries no pending rows
+            # (reference analogue: channels drained, pipeline.go:142-158)
+            if stats["pending_after"] == 0:
+                break
+        return run

@@ -1,0 +1,358 @@
+"""The crawl superstep — remilia's fetch-parse loop as one DataFrame job.
+
+One superstep reproduces one wave of the reference pipeline
+(``pipeline.go:51-61`` + ``remilia.go:148-164``), Pregel-style:
+
+    wave    = pending ∧ eligible  → robots already applied at insertion
+              → per-host budget window rank (token bucket, R10)
+              → optional global priority cap (depth, host_rank, discovery_order)
+    fetched = pages ⋈ wave  (the corpus join plays client.execute,
+              client.go:103-184; broadcast the wave side when small)
+    parsed  = mapInPandas(pinned extractor) over html:binary   (R19)
+    next    = posexplode(links) → RFC3986 canonicalize + xxhash64 →
+              in-batch dedup → anti-join seen → robots state →
+              global discovery_order rank → new pending rows
+    misses  = wave rows absent from parsed ⇒ retry with hash-seeded
+              jittered backoff (R11/R12) or terminal 'failed' at max_attempt
+    commit  = frontier' / seen Δ / budgets' / results Δ / metrics Δ,
+              atomically (storage manifest protocol)
+
+Per-row work is vectorized (canonicalization + extraction are pandas/Arrow
+UDFs; hashing/regex/window/join math is JVM-side) and the driver issues a
+*bounded* number of actions per superstep (~7): one frontier aggregate, one
+wave count, five table writes.  All remaining statistics are read back from
+the committed metrics/manifest rows instead of extra ``.count()`` jobs —
+at 10^10-URL scale, driver round-trips are the scheduler bottleneck.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from . import urlnorm
+from .backoff import backoff_steps_col
+from .budget import available_tokens, updated_budgets
+from .config import CrawlConfig
+from .extract import extract
+from .ranking import global_rank, grant_wave
+from .robots import with_robots_state
+from .storage import SEEN_SCHEMA, ParquetSnapshotStorage
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
+    "link_index", "attempt", "next_eligible", "state",
+]
+
+# parse-stage mapInPandas schema: wave bookkeeping passes through the UDF
+_PARSE_SCHEMA = (
+    "url string, url_hash long, depth int, discovery_order long, "
+    "host_rank int, links array<string>, text string"
+)
+
+# waves at or below this size rank new discoveries with a plain global
+# window (one small shuffle, no extra driver action); larger waves use the
+# scalable range-partitioned rank
+_SMALL_WAVE = 10_000
+
+
+def _parse_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        links, texts = [], []
+        for h in pdf["html"]:
+            ls, tx = extract(h)
+            links.append(ls)
+            texts.append(tx)
+        out = pdf[["url", "url_hash", "depth", "discovery_order", "host_rank"]].copy()
+        out["links"] = links
+        out["text"] = texts
+        yield out
+
+
+@F.pandas_udf(StringType())
+def _canonicalize(href: pd.Series, base: pd.Series) -> pd.Series:
+    return urlnorm.normalize_series(href, base)
+
+
+def seed_frontier(spark: SparkSession, seeds: DataFrame,
+                  robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+    """Canonical seed rows -> (frontier at superstep 0, seen delta 0).
+
+    Seeds mirror ``URLProvider`` (``remilia.go:166-168``) generalized to N
+    rows; duplicates collapse to the smallest ``seed_order``; robots applies
+    at insertion like any other row.
+    """
+    c = (
+        seeds
+        .withColumn("curl", _canonicalize("url", F.lit(None).cast("string")))
+        .where(F.col("curl").isNotNull())
+        .groupBy("curl").agg(F.min("seed_order").alias("seed_order"))
+        .select(
+            F.col("curl").alias("url"),
+            F.xxhash64("curl").alias("url_hash"),
+            F.coalesce(F.parse_url("curl", F.lit("HOST")), F.lit("")).alias("host"),
+            "seed_order",
+        )
+    )
+    c = with_robots_state(c, robots)
+    w = Window.orderBy("seed_order")  # seed lists are small by nature
+    frontier = c.withColumn(
+        "discovery_order", (F.row_number().over(w) - 1).cast("long")
+    ).select(
+        "url", "url_hash", "host",
+        F.lit(0).alias("depth"),
+        "discovery_order",
+        F.lit(None).cast("long").alias("parent_hash"),
+        F.lit(0).alias("link_index"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).alias("next_eligible"),
+        F.when(F.col("robots_blocked"), F.lit("filtered"))
+         .otherwise(F.lit("pending")).alias("state"),
+    )
+    seen = frontier.select(
+        "url_hash", "url", F.lit(0).cast("int").alias("first_seen_superstep"))
+    return frontier, seen
+
+
+def _read_totals_row(storage: ParquetSnapshotStorage, s: int) -> dict:
+    """Driver-local read of the committed metrics totals row (no Spark job)."""
+    man = storage.manifest(s + 1)
+    path = man["tables"]["metrics"]["path"]
+    tbl = pq.read_table(path)
+    pdf = tbl.to_pandas()
+    row = pdf[pdf["partition_id"] == -1].iloc[0]
+    return {k: (int(v) if pd.notna(v) else 0) for k, v in row.items()}
+
+
+def run_superstep(
+    spark: SparkSession,
+    storage: ParquetSnapshotStorage,
+    pages: DataFrame,
+    robots: DataFrame | None,
+    cfg: CrawlConfig,
+    s: int,
+) -> dict:
+    """Run superstep ``s`` on committed state ``s`` and commit ``s + 1``.
+
+    Returns the stats dict recorded into the manifest; the engine loop
+    terminates when ``stats['pending_after'] == 0``.
+    """
+    t0 = time.monotonic()
+    frontier = storage.read_snapshot("frontier", s)
+    budgets = storage.read_snapshot("budgets", s)
+
+    is_pending = F.col("state") == "pending"
+    is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
+    head = frontier.agg(
+        F.sum(is_pending.cast("long")).alias("pending"),
+        F.sum(is_eligible.cast("long")).alias("eligible"),
+        F.max("discovery_order").alias("max_order"),
+    ).collect()[0]
+    n_pending = int(head["pending"] or 0)
+    n_eligible = int(head["eligible"] or 0)
+    max_order = int(head["max_order"] or 0)
+
+    if n_eligible == 0:
+        # idle step (all pending rows are backing off): advance the clock
+        # without rewriting state — the manifest aliases the old dirs.
+        stats = {"superstep": s, "pending": n_pending, "eligible": 0,
+                 "wave": 0, "fetched": 0, "discovered": 0,
+                 "pending_after": n_pending, "idle": True}
+        storage.commit(s + 1, {}, extra={"stats": stats},
+                       reuse={"frontier": s, "budgets": s})
+        return stats
+
+    # ---- budget grant + priority pop (R10) --------------------------------
+    eligible = frontier.where(is_eligible)
+    avail = available_tokens(eligible.select("host").distinct(), budgets,
+                             robots, cfg, s)
+    granted = grant_wave(eligible, avail, cfg,
+                         skip_skew_check=n_eligible <= cfg.skew_threshold)
+    if cfg.wave_size is not None:
+        granted = granted.orderBy("depth", "host_rank", "discovery_order") \
+                         .limit(cfg.wave_size)
+    wave = granted.persist()
+    n_wave = wave.count()
+    budget_deferred = n_eligible - n_wave
+
+    # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
+    wave_keyed = wave.select(*FRONTIER_COLS, "host_rank", "avail")
+    wave_join = F.broadcast(wave_keyed) if n_wave <= cfg.broadcast_wave_max \
+        else wave_keyed
+    hits = pages.select("url", "html").join(wave_join, "url", "inner")
+
+    # ---- parse (R19) + results --------------------------------------------
+    parsed = hits.select(
+        "url", "url_hash", "depth", "discovery_order", "host_rank", "html"
+    ).mapInPandas(_parse_batches, _PARSE_SCHEMA).persist()
+
+    results = parsed.select(
+        F.lit(s).cast("int").alias("superstep"),
+        "url", "depth", "host_rank", "discovery_order", "text",
+    )
+
+    # ---- discover next wave (R7/R8/R16/R20) -------------------------------
+    link_rows = parsed.where(F.col("depth") < cfg.max_depth).select(
+        F.col("url").alias("parent_url"),
+        F.col("url_hash").alias("parent_hash"),
+        F.col("depth").alias("parent_depth"),
+        F.col("discovery_order").alias("parent_order"),
+        F.posexplode("links").alias("link_index", "href"),
+    )
+    cand = (
+        link_rows
+        .withColumn("curl", _canonicalize("href", "parent_url"))
+        .where(F.col("curl").isNotNull())
+        # in-batch dedup: first discovery wins — min (parent_order,
+        # link_index) is total because parent orders are globally unique
+        .groupBy("curl")
+        .agg(F.min(F.struct("parent_order", "link_index", "parent_depth",
+                            "parent_hash")).alias("m"))
+        .select(
+            F.col("curl").alias("url"),
+            F.xxhash64("curl").alias("url_hash"),
+            F.coalesce(F.parse_url("curl", F.lit("HOST")), F.lit("")).alias("host"),
+            (F.col("m.parent_depth") + 1).cast("int").alias("depth"),
+            F.col("m.parent_order").alias("parent_order"),
+            F.col("m.link_index").cast("int").alias("link_index"),
+            F.col("m.parent_hash").alias("parent_hash"),
+        )
+        .persist()
+    )
+
+    seen = storage.read_deltas("seen", s, SEEN_SCHEMA)
+    fresh = cand.join(seen.select("url_hash", "url"), ["url_hash", "url"],
+                      "left_anti") if seen is not None else cand
+    fresh = with_robots_state(fresh, robots)
+    rank_keys = ["parent_order", "link_index", "url_hash"]
+    if n_wave <= _SMALL_WAVE:
+        w = Window.orderBy(*rank_keys)
+        fresh = fresh.withColumn(
+            "discovery_order",
+            (F.lit(max_order + 1) + F.row_number().over(w) - 1).cast("long"))
+    else:
+        fresh = global_rank(fresh, rank_keys, "discovery_order",
+                            start=max_order + 1,
+                            num_partitions=cfg.rank_partitions)
+    new_rows = fresh.select(
+        "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
+        "link_index",
+        F.lit(0).alias("attempt"),
+        F.lit(s + 1).alias("next_eligible"),
+        F.when(F.col("robots_blocked"), F.lit("filtered"))
+         .otherwise(F.lit("pending")).alias("state"),
+    ).persist()
+
+    seen_delta = new_rows.select(
+        "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
+
+    # ---- state transitions for the wave (R11/R12) -------------------------
+    fetched_rows = (
+        wave_keyed.join(parsed.select("url"), "url", "inner")
+        .select(*[c for c in FRONTIER_COLS if c != "state"],
+                F.lit("fetched").alias("state"))
+    )
+    misses = wave_keyed.join(parsed.select("url"), "url", "left_anti")
+    nxt = F.col("attempt") + 1
+    retry_rows = misses.select(
+        "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
+        "link_index",
+        nxt.cast("int").alias("attempt"),
+        F.when(nxt >= cfg.max_attempt, F.col("next_eligible"))
+         .otherwise(F.lit(s) + backoff_steps_col(
+             F.col("url"), nxt,
+             min_delay=cfg.min_delay, max_delay=cfg.max_delay,
+             multiplier=cfg.multiplier)).cast("int").alias("next_eligible"),
+        F.when(nxt >= cfg.max_attempt, F.lit("failed"))
+         .otherwise(F.lit("pending")).alias("state"),
+    )
+    untouched = frontier.join(wave_keyed.select("url_hash", "url"),
+                              ["url_hash", "url"], "left_anti")
+    frontier_next = (
+        untouched.select(*FRONTIER_COLS)
+        .unionByName(fetched_rows.select(*FRONTIER_COLS))
+        .unionByName(retry_rows.select(*FRONTIER_COLS))
+        .unionByName(new_rows.select(*FRONTIER_COLS))
+    )
+
+    # ---- budgets -----------------------------------------------------------
+    grants = wave.groupBy("host", "avail").agg(
+        F.count(F.lit(1)).alias("granted"))
+    budgets_next = updated_budgets(budgets, grants, s)
+
+    # ---- metrics: one write computes every remaining statistic ------------
+    wall_ms = int((time.monotonic() - t0) * 1000)  # plan-build time; the
+    # write job's own duration lands in the manifest timestamp instead
+    part_rows = wave.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("rows_in")).select(
+        F.lit(s).cast("int").alias("superstep"),
+        "partition_id",
+        F.col("rows_in").cast("long"),
+        *[F.lit(None).cast("long").alias(c) for c in
+          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
+           "wall_ms", "retry_pending", "failed_terminal")],
+    )
+    cand_agg = cand.agg(F.count(F.lit(1)).alias("_emitted"))
+    new_agg = new_rows.agg(
+        F.count(F.lit(1)).alias("_new"),
+        F.sum((F.col("state") == "filtered").cast("long")).alias("_blocked"))
+    retry_agg = retry_rows.agg(
+        F.sum((F.col("state") == "pending").cast("long")).alias("_retry"),
+        F.sum((F.col("state") == "failed").cast("long")).alias("_failed"))
+    totals = (
+        cand_agg.crossJoin(new_agg).crossJoin(retry_agg).select(
+            F.lit(s).cast("int").alias("superstep"),
+            F.lit(-1).alias("partition_id"),
+            F.lit(n_wave).cast("long").alias("rows_in"),
+            F.col("_emitted").cast("long").alias("rows_emitted"),
+            (F.col("_emitted") - F.col("_new")).cast("long").alias("deduped"),
+            F.coalesce(F.col("_blocked"), F.lit(0)).cast("long")
+             .alias("robots_blocked"),
+            F.lit(budget_deferred).cast("long").alias("budget_deferred"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.coalesce(F.col("_retry"), F.lit(0)).cast("long")
+             .alias("retry_pending"),
+            F.coalesce(F.col("_failed"), F.lit(0)).cast("long")
+             .alias("failed_terminal"),
+        )
+    )
+    metrics = part_rows.unionByName(totals)
+
+    storage.commit(
+        s + 1,
+        {
+            "frontier": frontier_next,
+            "budgets": budgets_next,
+            "seen": seen_delta,
+            "results": results,
+            "metrics": metrics,
+        },
+        extra={"stats_pending": n_pending},
+    )
+
+    tot = _read_totals_row(storage, s)
+    man = storage.manifest(s + 1)
+    n_fetched = man["tables"]["results"]["rows"]
+    n_new = man["tables"]["seen"]["rows"]
+    stats = {
+        "superstep": s, "pending": n_pending, "eligible": n_eligible,
+        "wave": n_wave, "fetched": n_fetched,
+        "failed_or_retry": n_wave - n_fetched,
+        "discovered": n_new,
+        "deduped": tot["deduped"], "robots_blocked": tot["robots_blocked"],
+        "budget_deferred": budget_deferred, "wall_ms": tot["wall_ms"],
+        "pending_after": (
+            (n_pending - n_wave) + tot["retry_pending"]
+            + (n_new - tot["robots_blocked"])
+        ),
+    }
+    for df in (wave, parsed, cand, new_rows):
+        df.unpersist()
+    return stats
