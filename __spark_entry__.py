@@ -1,38 +1,522 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (the full frontier engine over a
+corpus derived deterministically from ``documents``) at sf0.001.
+
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2 as a
+(spark, sf_dir) callable over the driver's parquet tables, and
+``oracle_sql()`` gives the DuckDB twin.  Column names and types are aligned
+on both sides (aggregates aliased identically; ints cast to BIGINT).
+
+Non-SQL-expressible entries (iterative crawl, LSH with numpy hyperplanes,
+pandas-UDF canonicalization) intentionally have no oracle_sql — the driver
+records a weaker rows-only check for them.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from remilia_spark.backoff import backoff_steps_col
+from remilia_spark.config import CrawlConfig
+from remilia_spark.datapipe import dedup, similarity, textstats
+from remilia_spark.datapipe.textstats import STOPWORDS
+from remilia_spark.engine import Engine
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_TOKS_SQL = ("CASE WHEN length(trim({t})) = 0 THEN CAST([] AS VARCHAR[]) "
+             "ELSE regexp_split_to_array(trim({t}), '\\s+') END")
+_HASH60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship crawl: corpus derived from `documents`, full engine end-to-end
+# ---------------------------------------------------------------------------
+
+def _derived_corpus(spark: SparkSession, sf_dir: str, n_docs: int = 200):
+    """pages/seeds/robots built deterministically from the documents table.
+
+    The html column is rendered with pure column functions (concat/encode —
+    JVM-side); links point at doc_id+1, 2*doc_id+1 and doc_id+9 (some out of
+    range => fetch failures exercising the retry path), plus a relative
+    link, a duplicate and a javascript: link for the canonicalizer.
+    """
+    d = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < n_docs)
+        .withColumn("host", (F.col("doc_id") % 7).cast("int"))
+    )
+    url = F.format_string("http://host%d.test/doc/%d", "host", "doc_id")
+
+    def doc_url(expr):
+        return F.format_string("http://host%d.test/doc/%d",
+                               (expr % 7).cast("int"), expr)
+
+    l1 = doc_url(F.col("doc_id") + 1)
+    l2 = doc_url(F.col("doc_id") * 2 + 1)      # escapes range -> misses
+    l3 = doc_url(F.col("doc_id") + 9)
+    rel = F.format_string("/doc/%d", F.col("doc_id") + 2)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>D"), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.substring(F.col("text"), 1, 400),
+        F.lit('</p><a href="'), l1, F.lit('">a</a><a href="'), l2,
+        F.lit('">b</a><a href="'), l3, F.lit('">c</a><a href="'), rel,
+        F.lit('">r</a><a href="'), l1,
+        F.lit('">dup</a><a href="javascript:void(0)">x</a></body></html>'))
+    pages = d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-08-07 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("").alias("text"),  # filled by the engine's extractor
+        F.lit("en").alias("lang"),
+    )
+    seeds = d.where(F.col("doc_id") < 3).select(
+        url.alias("url"), F.col("doc_id").cast("int").alias("seed_order"))
+    robots = spark.createDataFrame(
+        [(f"host{h}.test", ["/doc/13"] if h == 6 else [], 0)
+         for h in range(7)],
+        "host string, disallow array<string>, crawl_delay int")
+    return pages, seeds, robots
+
+
+def flagship_crawl(spark: SparkSession, sf_dir: str = SF_DEFAULT) -> DataFrame:
+    pages, seeds, robots = _derived_corpus(spark, sf_dir)
+    cfg = CrawlConfig(max_depth=2, max_supersteps=12, max_attempt=2)
+    state = tempfile.mkdtemp(prefix="remilia_flagship_")
+    run = Engine(spark, cfg).run(pages, seeds, robots, state)
+    ev = run.fetch_events()
+    return ev.select(
+        F.col("superstep").cast("long"), "url",
+        F.col("depth").cast("long"),
+        F.col("host_rank").cast("long"),
+        "discovery_order")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_crawl(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# crawl-primitive operators, expressed over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_seen_antijoin_dedup(spark, sf):
+    """R12/§4.2: URL-seen dedup as a left-anti join (events stand in)."""
+    ev = _read(spark, sf, "events")
+    seen = ev.where(F.col("event_id") % 10 < 3).select("user_id").distinct()
+    return (
+        ev.join(seen, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fresh"),
+             F.min("event_id").alias("min_event_id"))
+    )
+
+
+def q_budget_window_rank(spark, sf):
+    """R10: per-host token-bucket pop as a bounded window rank."""
+    ev = _read(spark, sf, "events").withColumn("host", F.col("user_id") % 50)
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= 5)
+        .select("host", "event_id", "host_rank")
+    )
+
+
+def q_priority_topk(spark, sf):
+    """Wave pop: global top-k by a total priority order."""
+    ev = _read(spark, sf, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id")).limit(100)
+        .select("event_id", F.round("value", 6).alias("value_r"))
+    )
+
+
+def q_skew_host_counts(spark, sf):
+    """§4.2 skew splitting: detect mega-hosts, plan salt counts."""
+    o = _read(spark, sf, "orders").withColumn("host", F.col("o_custkey") % 100)
+    return (
+        o.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pending"))
+        .select("host", "n_pending",
+                F.ceil(F.col("n_pending") / F.lit(50.0)).cast("long")
+                 .alias("num_salts"))
+    )
+
+
+def q_backoff_schedule(spark, sf):
+    """R11: hash-seeded full-jitter backoff — pure column math."""
+    ev = _read(spark, sf, "events").where(F.col("event_id") % 37 == 0)
+    url = F.format_string("http://h%d.test/p/%d",
+                          (F.col("user_id") % 20), F.col("event_id"))
+    attempt = (F.col("event_id") % 9 + 1).cast("int")
+    steps = backoff_steps_col(url, attempt, min_delay=1.0, max_delay=50.0,
+                              multiplier=2.0)
+    return ev.select(
+        "event_id", url.alias("url"), attempt.cast("long").alias("attempt"),
+        steps.cast("long").alias("steps"))
+
+
+def q_retry_state_transition(spark, sf):
+    """R12: attempt bump + terminal-failure classification."""
+    ev = _read(spark, sf, "events").withColumn(
+        "attempt", (F.col("event_id") % 12).cast("long"))
+    nxt = F.col("attempt") + 1
+    return (
+        ev.select(
+            nxt.alias("next_attempt"),
+            F.when(nxt >= 10, F.lit("failed")).otherwise(F.lit("pending"))
+             .alias("state"))
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("next_attempt").alias("min_attempt"),
+             F.max("next_attempt").alias("max_attempt"))
+    )
+
+
+def q_first_discovery_dedup(spark, sf):
+    """In-batch dedup: first (parent_order, link_index) discovery wins."""
+    ev = _read(spark, sf, "events")
+    cand = ev.select(
+        F.format_string("http://h%d.test/p/%d", F.col("user_id") % 20,
+                        F.col("event_id") % 500).alias("url"),
+        F.col("event_id").alias("parent_order"),
+        (F.col("event_id") % 7).cast("long").alias("link_index"))
+    w = Window.partitionBy("url").orderBy("parent_order", "link_index")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url", "parent_order", "link_index")
+    )
+
+
+def q_robots_prefix_filter(spark, sf):
+    """Robots path-prefix gate as pure column math."""
+    ev = _read(spark, sf, "events")
+    host = F.format_string("h%d", F.col("user_id") % 20)
+    path = F.format_string("/%s/%d", F.col("event_type"), F.col("event_id"))
+    blocked = ((F.col("user_id") % 20) % 2 == 0) & path.startswith("/click/")
+    return ev.select("event_id", host.alias("host"), path.alias("path"),
+                     blocked.alias("blocked"))
+
+
+# ---------------------------------------------------------------------------
+# datapipe operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf):
+    return dedup.exact_duplicates(_read(spark, sf, "documents"))
+
+
+def q_doc_token_count(spark, sf):
+    return textstats.token_count(_read(spark, sf, "documents"))
+
+
+def q_doc_quality(spark, sf):
+    return textstats.quality_score(_read(spark, sf, "documents"))
+
+
+def q_doc_lang_id(spark, sf):
+    out = textstats.lang_id(_read(spark, sf, "documents"))
+    return out.select("doc_id", F.col("stopword_hits").cast("long"),
+                      "pred_lang")
+
+
+def q_doc_fingerprint(spark, sf):
+    return textstats.fingerprint(_read(spark, sf, "documents"))
+
+
+def q_doc_minhash(spark, sf):
+    out = dedup.minhash_signatures(_read(spark, sf, "documents"),
+                                   k=3, num_perm=8)
+    return out.select("doc_id", F.col("perm").cast("long"), "minhash")
+
+
+def q_doc_simhash(spark, sf):
+    return dedup.simhash(_read(spark, sf, "documents"), bits=48)
+
+
+def q_doc_ngram_jaccard(spark, sf):
+    """Blocked pairwise word-set Jaccard (verify stage of near-dup)."""
+    d = _read(spark, sf, "documents")
+    ws = d.select(
+        "doc_id", (F.col("n_chars") / F.lit(128)).cast("long").alias("block"),
+        F.array_distinct(textstats.tokens_col(F.lower(F.col("text")))).alias("w"))
+    a = ws.select(F.col("doc_id").alias("doc_a"), "block",
+                  F.col("w").alias("wa"))
+    b = ws.select(F.col("doc_id").alias("doc_b"), "block",
+                  F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return (
+        a.join(b, "block")
+        .where((F.col("doc_a") < F.col("doc_b"))
+               & (F.size("wa") > 0) & (F.size("wb") > 0))
+        .select("doc_a", "doc_b",
+                F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+def q_embed_cosine_topk(spark, sf):
+    emb = _read(spark, sf, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("nn_rank"))
+
+
+# rows-only (no SQL oracle): numpy LSH + the iterative crawl itself
+def q_embed_ann_lsh(spark, sf):
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10),
+                              dim=dim, k=5, planes=6)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("nn_rank"), "cos")
+
+
+def q_embed_near_dup(spark, sf):
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # synthetic embeddings are near-orthogonal (max pairwise cos ~0.48 at
+    # dim 64), so "near-dup" here means the top of that distribution
+    return similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
+                                                planes=4)
+
+
+def q_crawl_flagship(spark, sf):
+    return flagship_crawl(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "seen_antijoin_dedup": q_seen_antijoin_dedup,
+        "budget_window_rank": q_budget_window_rank,
+        "priority_topk": q_priority_topk,
+        "skew_host_counts": q_skew_host_counts,
+        "backoff_schedule": q_backoff_schedule,
+        "retry_state_transition": q_retry_state_transition,
+        "first_discovery_dedup": q_first_discovery_dedup,
+        "robots_prefix_filter": q_robots_prefix_filter,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash": q_doc_minhash,
+        "doc_simhash": q_doc_simhash,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_near_dup": q_embed_near_dup,
+        "crawl_flagship": q_crawl_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS_SQL.format(t="text")
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    return {
+        "seen_antijoin_dedup": """
+            WITH seen AS (
+              SELECT DISTINCT user_id FROM events WHERE event_id % 10 < 3)
+            SELECT e.event_type,
+                   COUNT(*) AS n_fresh,
+                   MIN(e.event_id) AS min_event_id
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.user_id = e.user_id)
+            GROUP BY e.event_type
+        """,
+        "budget_window_rank": """
+            SELECT host, event_id, host_rank FROM (
+              SELECT user_id % 50 AS host, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id % 50
+                                        ORDER BY ts, event_id) AS host_rank
+              FROM events)
+            WHERE host_rank <= 5
+        """,
+        "priority_topk": """
+            SELECT event_id, ROUND(value, 6) AS value_r
+            FROM events ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "skew_host_counts": """
+            SELECT o_custkey % 100 AS host,
+                   COUNT(*) AS n_pending,
+                   CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS num_salts
+            FROM orders GROUP BY o_custkey % 100
+        """,
+        "backoff_schedule": """
+            WITH s AS (
+              SELECT event_id,
+                     'http://h' || (user_id % 20) || '.test/p/' || event_id AS url,
+                     (event_id % 9 + 1) AS attempt
+              FROM events WHERE event_id % 37 = 0),
+            j AS (
+              SELECT *,
+                     ('0x' || substr(sha256(url || '|' || attempt), 1, 13))::BIGINT
+                       / 4503599627370496.0 AS u,
+                     LEAST(50.0, 1.0 * POW(attempt, 2.0)) AS cap
+              FROM s)
+            SELECT event_id, url, attempt,
+                   GREATEST(1, CAST(CEIL(1.0 + u * (cap - 1.0)) AS BIGINT)) AS steps
+            FROM j
+        """,
+        "retry_state_transition": """
+            SELECT state, COUNT(*) AS n,
+                   MIN(next_attempt) AS min_attempt,
+                   MAX(next_attempt) AS max_attempt
+            FROM (SELECT (event_id % 12) + 1 AS next_attempt,
+                         CASE WHEN (event_id % 12) + 1 >= 10
+                              THEN 'failed' ELSE 'pending' END AS state
+                  FROM events)
+            GROUP BY state
+        """,
+        "first_discovery_dedup": """
+            SELECT url, parent_order, link_index FROM (
+              SELECT 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 500) AS url,
+                     event_id AS parent_order,
+                     event_id % 7 AS link_index,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 500)
+                       ORDER BY event_id, event_id % 7) AS rn
+              FROM events)
+            WHERE rn = 1
+        """,
+        "robots_prefix_filter": """
+            SELECT event_id,
+                   'h' || (user_id % 20) AS host,
+                   '/' || event_type || '/' || event_id AS path,
+                   ((user_id % 20) % 2 = 0
+                    AND ('/' || event_type || '/' || event_id) LIKE '/click/%')
+                     AS blocked
+            FROM events
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id, md5(text) AS text_hash,
+                   COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                     AS is_canonical
+            FROM documents
+        """,
+        "doc_token_count": f"""
+            SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+                     length(text) AS nc
+              FROM documents),
+            r AS (
+              SELECT doc_id, len(toks) AS nt,
+                     CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0.0 END AS pr,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks,
+                                 w -> list_contains({_STOPS_SQL}, lower(w))))
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS sr
+              FROM t)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(sr, 6) AS stopword_ratio,
+                   ROUND(0.4 * LEAST(1.0, nt / 100.0) + 0.3 * sr
+                         + 0.3 * (1.0 - LEAST(1.0, 4.0 * pr)), 6) AS quality
+            FROM r
+        """,
+        "doc_lang_id": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            h AS (SELECT doc_id, len(toks) AS nt,
+                         len(list_filter(toks,
+                           w -> list_contains({_STOPS_SQL}, lower(w)))) AS hits
+                  FROM t)
+            SELECT doc_id, CAST(hits AS BIGINT) AS stopword_hits,
+                   CASE WHEN nt > 0 AND hits * 10 >= nt
+                        THEN 'en' ELSE 'unknown' END AS pred_lang
+            FROM h
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   {_HASH60_SQL.format(x="lower(trim(text))")} AS fp
+            FROM documents
+        """,
+        "doc_minhash": f"""
+            WITH t AS (SELECT doc_id, {toks_l} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN len(t) >= 3 THEN
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]
+                       WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                       ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+              FROM t),
+            hp AS (
+              SELECT doc_id, p.perm AS perm,
+                     {_HASH60_SQL.format(x="shingle || '|' || p.perm")} AS h
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS perm) p)
+            SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+                   MIN(h) AS minhash
+            FROM hp GROUP BY doc_id, perm
+        """,
+        "doc_simhash": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({toks_l}) AS w FROM documents),
+            c AS (
+              SELECT doc_id, w, COUNT(*) AS cnt,
+                     {_HASH60_SQL.format(x="w")} AS h
+              FROM w GROUP BY doc_id, w),
+            pb AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (h // CAST(POW(2.0, b.b) AS BIGINT)) % 2 = 1
+                              THEN cnt ELSE -cnt END) AS s
+              FROM c CROSS JOIN (SELECT unnest(range(0, 48)) AS b) b
+              GROUP BY doc_id, b.b),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0
+                                   THEN CAST(POW(2.0, b) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS simhash
+              FROM pb GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH ws AS (
+              SELECT doc_id, n_chars // 128 AS block,
+                     list_distinct({toks_l}) AS w
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.w, b.w)) AS i,
+                     len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS u
+              FROM ws a JOIN ws b ON a.block = b.block AND a.doc_id < b.doc_id
+              WHERE len(a.w) > 0 AND len(b.w) > 0)
+            SELECT doc_a, doc_b, ROUND(i / CAST(u AS DOUBLE), 6) AS jaccard
+            FROM p WHERE i / CAST(u AS DOUBLE) >= 0.2
+        """,
+        "embed_cosine_topk": """
+            SELECT query_id, neighbor_id, nn_rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id) AS nn_rank
+              FROM embeddings c
+              JOIN embeddings q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+            WHERE nn_rank <= 5
+        """,
+    }

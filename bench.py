@@ -1,0 +1,195 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+
+Headline queries:
+  crawl          full frontier engine over a synthetic corpus scaled to the
+                 sf (the BASELINE.json metric: frontier URLs processed/sec)
+  minhash_dedup  MinHash->LSH->Jaccard near-dup over documents
+  doc_stats      quality + lang-id + fingerprint scan over documents
+  embed_topk     brute-force cosine top-k over embeddings
+  frontier_ops   seen anti-join + budget window rank over events
+
+The corpus is generated once per (size, seed) into a cache dir so repeated
+runs (e.g. local[8] vs local[32] scaling) time Spark, not Python codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def _sf_of(path: str) -> float:
+    name = Path(path).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+SF = _sf_of(SF_DIR)
+N_PAGES = max(200, int(200_000 * SF))  # sf0.1 -> 20k pages
+
+
+def corpus_dir() -> Path:
+    out = Path(tempfile.gettempdir()) / f"remilia_bench_corpus_{N_PAGES}_{SEED}"
+    marker = out / "_DONE"
+    if marker.exists():
+        return out
+    from remilia_spark.corpus import generate_corpus
+
+    shutil.rmtree(out, ignore_errors=True)
+    c = generate_corpus(n_pages=N_PAGES, n_hosts=max(5, N_PAGES // 2000),
+                        seed=SEED, n_seeds=10)
+    c.write(out)
+    marker.touch()
+    return out
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"remilia-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark, cdir: Path) -> dict:
+    from remilia_spark.config import CrawlConfig
+    from remilia_spark.engine import Engine
+
+    pages = spark.read.parquet(str(cdir / "pages.parquet"))
+    seeds = spark.read.parquet(str(cdir / "seeds.parquet"))
+    robots = spark.read.parquet(str(cdir / "robots.parquet"))
+    cfg = CrawlConfig(
+        max_depth=8, max_supersteps=20, max_attempt=2,
+        bucket_capacity=1_000_000, fill_quantum=1_000_000,
+        initial_tokens=1_000_000,
+        shuffle_partitions=max(8, CPUS),
+    )
+    state = tempfile.mkdtemp(prefix="remilia_bench_state_")
+    t0 = time.monotonic()
+    run = Engine(spark, cfg).run(pages, seeds, robots, state)
+    dt = time.monotonic() - t0
+    processed = sum(s.get("wave", 0) for s in run.stats)
+    fetched = sum(s.get("fetched", 0) for s in run.stats)
+    # determinism fingerprint: the full fetch log in canonical order must be
+    # identical at any parallelism (crawl-ordering match across cluster sizes)
+    from pyspark.sql import functions as F
+
+    order_hash = (
+        run.fetch_events()
+        .select(F.md5(F.concat_ws("|", "superstep", "depth", "host_rank",
+                                  "discovery_order", "url")).alias("h"))
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("h"))))
+             .alias("oh")).collect()[0]["oh"]
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    return {"sec": dt, "urls_processed": processed, "fetched": fetched,
+            "supersteps": len(run.stats), "order_hash": order_hash,
+            "urls_per_sec": processed / dt if dt > 0 else 0.0}
+
+
+def bench_minhash(spark) -> float:
+    from remilia_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    dedup.minhash_near_duplicates(docs, k=3, num_perm=16, bands=4,
+                                  threshold=0.5).count()
+    return time.monotonic() - t0
+
+
+def bench_doc_stats(spark) -> float:
+    from pyspark.sql import functions as F
+
+    from remilia_spark.datapipe import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    q = textstats.quality_score(docs)
+    l = textstats.lang_id(docs)
+    fp = textstats.fingerprint(docs)
+    q.join(l, "doc_id").join(fp, "doc_id") \
+        .agg(F.sum("quality"), F.count(F.lit(1))).collect()
+    return time.monotonic() - t0
+
+
+def bench_embed_topk(spark) -> float:
+    from pyspark.sql import functions as F
+
+    from remilia_spark.datapipe import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.monotonic()
+    similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 32), k=10).count()
+    return time.monotonic() - t0
+
+
+def bench_frontier_ops(spark) -> float:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = time.monotonic()
+    seen = ev.where(F.col("event_id") % 10 < 3).select("user_id").distinct()
+    fresh = ev.join(seen, "user_id", "left_anti")
+    w = Window.partitionBy(F.col("user_id") % 50).orderBy("ts", "event_id")
+    fresh.withColumn("r", F.row_number().over(w)) \
+        .where(F.col("r") <= 5).count()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    cdir = corpus_dir()
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        crawl = bench_crawl(spark, cdir)
+        queries = {
+            "crawl": round(crawl["sec"], 3),
+            "minhash_dedup": round(bench_minhash(spark), 3),
+            "doc_stats": round(bench_doc_stats(spark), 3),
+            "embed_topk": round(bench_embed_topk(spark), 3),
+            "frontier_ops": round(bench_frontier_ops(spark), 3),
+        }
+    finally:
+        spark.stop()
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(crawl["urls_per_sec"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "cpus": CPUS,
+        "total_sec": total,
+        "crawl_urls_processed": crawl["urls_processed"],
+        "crawl_fetched": crawl["fetched"],
+        "crawl_supersteps": crawl["supersteps"],
+        "crawl_order_hash": crawl["order_hash"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""spark-submit entry point for the crawl engine.
+
+Cluster usage (north rule: ships as ``spark-submit --py-files``):
+
+    python jobs/package.py                        # builds dist/remilia_spark.zip
+    spark-submit --py-files dist/remilia_spark.zip jobs/crawl_job.py \\
+        --pages s3://bucket/pages/ --seeds s3://bucket/seeds.parquet \\
+        --robots s3://bucket/robots.parquet --state s3://bucket/state/ \\
+        --max-depth 3 --resume
+
+Local sandbox smoke:
+
+    python jobs/crawl_job.py --corpus /tmp/corpus --state /tmp/state \\
+        --master 'local[8]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+try:  # local runs: put the repo root on sys.path; clusters use --py-files
+    import remilia_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="remilia-spark crawl job")
+    p.add_argument("--pages")
+    p.add_argument("--seeds")
+    p.add_argument("--robots")
+    p.add_argument("--corpus", help="dir with pages/seeds/robots parquet "
+                                    "(shorthand for the three paths)")
+    p.add_argument("--state", required=True)
+    p.add_argument("--master", default=None,
+                   help="only for local runs; on a cluster let spark-submit "
+                        "set the master")
+    p.add_argument("--max-depth", type=int, default=2)
+    p.add_argument("--max-supersteps", type=int, default=64)
+    p.add_argument("--wave-size", type=int, default=None)
+    p.add_argument("--max-attempt", type=int, default=10)
+    p.add_argument("--bucket-capacity", type=int, default=100)
+    p.add_argument("--fill-quantum", type=int, default=10)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from remilia_spark.config import CrawlConfig
+    from remilia_spark.engine import Engine
+
+    b = SparkSession.builder.appName("remilia-spark-crawl")
+    if args.master:
+        b = b.master(args.master)
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+    b = b.config("spark.sql.adaptive.enabled", "true") \
+         .config("spark.sql.session.timeZone", "UTC")
+    spark = b.getOrCreate()
+
+    pages_p = args.pages or f"{args.corpus}/pages.parquet"
+    seeds_p = args.seeds or f"{args.corpus}/seeds.parquet"
+    robots_p = args.robots or (f"{args.corpus}/robots.parquet"
+                               if args.corpus else None)
+    pages = spark.read.parquet(pages_p)
+    seeds = spark.read.parquet(seeds_p)
+    robots = spark.read.parquet(robots_p) if robots_p else None
+
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_supersteps=args.max_supersteps,
+        wave_size=args.wave_size,
+        max_attempt=args.max_attempt,
+        bucket_capacity=args.bucket_capacity,
+        fill_quantum=args.fill_quantum,
+    )
+    run = Engine(spark, cfg).run(pages, seeds, robots, args.state,
+                                 resume=args.resume)
+    for s in run.stats:
+        print(json.dumps({"superstep": s["superstep"],
+                          "wave": s.get("wave", 0),
+                          "fetched": s.get("fetched", 0),
+                          "discovered": s.get("discovered", 0),
+                          "pending_after": s.get("pending_after")}))
+    print(json.dumps({
+        "done": True,
+        "supersteps": run.last_superstep,
+        "fetched_total": sum(s.get("fetched", 0) for s in run.stats),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,21 @@
+"""Build dist/remilia_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def build(out: Path | None = None) -> Path:
+    out = out or ROOT / "dist" / "remilia_spark.zip"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted((ROOT / "remilia_spark").rglob("*.py")):
+            z.write(f, f.relative_to(ROOT))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

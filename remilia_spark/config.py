@@ -38,7 +38,13 @@ class CrawlConfig:
     rank_partitions: int = 32          # range partitions for global ranking
     skew_threshold: int = 50_000       # pending rows per host before salting
     broadcast_wave_max: int = 2_000_000  # wave rows under which to hint broadcast
+    # bloom prefilter for the seen anti-join (bloom.py); per-bucket bitmap
+    # size is fixed — at 10^10 keys configure ~4096 buckets x 2^31 bits
     bloom_enabled: bool = True
     bloom_num_buckets: int = 64
-    bloom_bits_per_key: int = 12
+    bloom_bucket_bits: int = 1 << 17   # 16 KiB/bucket => ~700k keys @ ~1% FP
     bloom_num_hashes: int = 6
+    # bitmap state is maintained from superstep 0 (it cannot be created
+    # mid-run without false negatives), but the prefilter only pays for
+    # itself once the seen set dwarfs the candidate batch:
+    bloom_min_seen: int = 100_000

@@ -149,7 +149,10 @@ def simhash(df: DataFrame, text_col: str = "text",
         .groupBy("doc_id", "b")
         .agg(F.sum("v").alias("s"))
     )
-    return per_bit.groupBy("doc_id").agg(
+    fp = per_bit.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0,
                      F.pow(F.lit(2.0), F.col("b")).cast("long"))
               .otherwise(F.lit(0))).cast("long").alias("simhash"))
+    # token-less docs have no exploded rows; pin their fingerprint to 0
+    return df.select("doc_id").join(fp, "doc_id", "left") \
+             .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))

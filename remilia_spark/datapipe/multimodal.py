@@ -81,9 +81,10 @@ def thumbnail(df: DataFrame, max_side: int = 32,
                 "media_id": pdf["media_id"],
                 "thumb": pdf["payload"].map(
                     lambda p: bytes(p[:cap]) if p is not None else b""),
-                "thumb_w": [min(max_side, int(w) if w else 0)
+                # nulls arrive as NaN in pandas — pd.notna, not truthiness
+                "thumb_w": [min(max_side, int(w)) if pd.notna(w) else 0
                             for w in pdf["width"]],
-                "thumb_h": [min(max_side, int(h) if h else 0)
+                "thumb_h": [min(max_side, int(h)) if pd.notna(h) else 0
                             for h in pdf["height"]],
             })
 

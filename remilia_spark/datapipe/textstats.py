@@ -73,13 +73,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     operator shape, a pure projection, stays identical.)
     """
     toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
-    hits = F.size(F.array_distinct(
-        F.filter(toks, lambda w: F.array_contains(stops, F.lower(w)))))
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(stops, F.lower(w))))
+    is_en = (n_tok > 0) & (hits * 10 >= n_tok)  # >=10% stopword tokens
     return df.select(
         "doc_id",
         hits.cast("int").alias("stopword_hits"),
-        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+        F.when(is_en, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
     )
 
 

@@ -75,6 +75,9 @@ class Engine:
         state_dir: str | Path,
         resume: bool = False,
         max_supersteps: int | None = None,
+        layer_fns=None,
+        pre_fetch_hooks=None,
+        post_parse_hooks=None,
     ) -> CrawlRun:
         cfg = self.cfg
         storage = ParquetSnapshotStorage(self.spark, state_dir)
@@ -82,8 +85,17 @@ class Engine:
         if last is None:
             frontier0, seen0 = seed_frontier(self.spark, seeds, robots)
             budgets0 = self.spark.createDataFrame([], BUDGETS_SCHEMA)
-            storage.commit(0, {"frontier": frontier0, "budgets": budgets0,
-                               "seen": seen0})
+            tables = {"frontier": frontier0, "budgets": budgets0,
+                      "seen": seen0}
+            if cfg.bloom_enabled:
+                from .bloom import empty_bloom, update_bloom
+                tables["bloom"] = update_bloom(
+                    empty_bloom(self.spark, cfg.bloom_num_buckets),
+                    seen0.select("url_hash"),
+                    num_buckets=cfg.bloom_num_buckets,
+                    n_bits=cfg.bloom_bucket_bits,
+                    n_hashes=cfg.bloom_num_hashes)
+            storage.commit(0, tables)
             last = 0
 
         limit = max_supersteps if max_supersteps is not None \
@@ -91,7 +103,10 @@ class Engine:
         run = CrawlRun(storage=storage, last_superstep=last)
         s = last
         while s < limit:
-            stats = run_superstep(self.spark, storage, pages, robots, cfg, s)
+            stats = run_superstep(self.spark, storage, pages, robots, cfg, s,
+                                  layer_fns=layer_fns,
+                                  pre_fetch_hooks=pre_fetch_hooks,
+                                  post_parse_hooks=post_parse_hooks)
             run.stats.append(stats)
             s += 1
             run.last_superstep = s

@@ -38,6 +38,7 @@ from pyspark.sql.types import StringType
 
 from . import urlnorm
 from .backoff import backoff_steps_col
+from .bloom import split_candidates, update_bloom
 from .budget import available_tokens, updated_budgets
 from .config import CrawlConfig
 from .extract import extract
@@ -62,17 +63,32 @@ _PARSE_SCHEMA = (
 _SMALL_WAVE = 10_000
 
 
-def _parse_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        links, texts = [], []
-        for h in pdf["html"]:
-            ls, tx = extract(h)
-            links.append(ls)
-            texts.append(tx)
-        out = pdf[["url", "url_hash", "depth", "discovery_order", "host_rank"]].copy()
-        out["links"] = links
-        out["text"] = texts
-        yield out
+def _parse_batches_factory(layer_fns=None):
+    """Build the parse-stage mapInPandas fn.
+
+    ``layer_fns[depth]`` is a user extractor ``(html_bytes, url) ->
+    (hrefs, value)`` — the reference's ``LayerFunc`` callback
+    (``remilia.go:170-176``); None slots fall back to the pinned default.
+    """
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            links, texts = [], []
+            for h, u, d in zip(pdf["html"], pdf["url"], pdf["depth"]):
+                fn = None
+                if layer_fns is not None and 0 <= d < len(layer_fns):
+                    fn = layer_fns[d]
+                ls, tx = fn(bytes(h) if h is not None else b"", u) \
+                    if fn is not None else extract(h)
+                links.append(list(ls))
+                texts.append(tx)
+            out = pdf[["url", "url_hash", "depth", "discovery_order",
+                       "host_rank"]].copy()
+            out["links"] = links
+            out["text"] = texts
+            yield out
+
+    return parse
 
 
 @F.pandas_udf(StringType())
@@ -137,6 +153,9 @@ def run_superstep(
     robots: DataFrame | None,
     cfg: CrawlConfig,
     s: int,
+    layer_fns=None,
+    pre_fetch_hooks=None,
+    post_parse_hooks=None,
 ) -> dict:
     """Run superstep ``s`` on committed state ``s`` and commit ``s + 1``.
 
@@ -164,8 +183,10 @@ def run_superstep(
         stats = {"superstep": s, "pending": n_pending, "eligible": 0,
                  "wave": 0, "fetched": 0, "discovered": 0,
                  "pending_after": n_pending, "idle": True}
-        storage.commit(s + 1, {}, extra={"stats": stats},
-                       reuse={"frontier": s, "budgets": s})
+        reuse = {"frontier": s, "budgets": s}
+        if "bloom" in storage.manifest(s)["tables"]:
+            reuse["bloom"] = s
+        storage.commit(s + 1, {}, extra={"stats": stats}, reuse=reuse)
         return stats
 
     # ---- budget grant + priority pop (R10) --------------------------------
@@ -183,6 +204,8 @@ def run_superstep(
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
     wave_keyed = wave.select(*FRONTIER_COLS, "host_rank", "avail")
+    for hook in pre_fetch_hooks or ():  # R13: request-hook chain
+        wave_keyed = hook(wave_keyed)
     wave_join = F.broadcast(wave_keyed) if n_wave <= cfg.broadcast_wave_max \
         else wave_keyed
     hits = pages.select("url", "html").join(wave_join, "url", "inner")
@@ -190,7 +213,10 @@ def run_superstep(
     # ---- parse (R19) + results --------------------------------------------
     parsed = hits.select(
         "url", "url_hash", "depth", "discovery_order", "host_rank", "html"
-    ).mapInPandas(_parse_batches, _PARSE_SCHEMA).persist()
+    ).mapInPandas(_parse_batches_factory(layer_fns), _PARSE_SCHEMA)
+    for hook in post_parse_hooks or ():  # R14: response-hook chain
+        parsed = hook(parsed)
+    parsed = parsed.persist()
 
     results = parsed.select(
         F.lit(s).cast("int").alias("superstep"),
@@ -227,8 +253,31 @@ def run_superstep(
     )
 
     seen = storage.read_deltas("seen", s, SEEN_SCHEMA)
-    fresh = cand.join(seen.select("url_hash", "url"), ["url_hash", "url"],
-                      "left_anti") if seen is not None else cand
+    use_bloom = (cfg.bloom_enabled
+                 and "bloom" in storage.manifest(s)["tables"])
+    # prefilter engages only once the seen set is big enough to matter;
+    # total size comes free from the committed manifests (no Spark job)
+    n_seen = sum(
+        storage.manifest(k)["tables"].get("seen", {}).get("rows", 0)
+        for k in range(s + 1)
+        if storage._manifest_path(k).exists()
+    ) if use_bloom else 0
+    bloom_tbl = storage.read_snapshot("bloom", s) if use_bloom else None
+    if seen is None:
+        fresh = cand
+    elif use_bloom and n_seen >= cfg.bloom_min_seen:
+        # bloom prefilter (§4.2): only 'maybe seen' candidates (true dupes
+        # + ~FP-rate of the fresh mass) pay the exact anti-join shuffle
+        flagged = split_candidates(cand, bloom_tbl,
+                                   num_buckets=cfg.bloom_num_buckets)
+        definite = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        fresh = definite.unionByName(
+            maybe.join(seen.select("url_hash", "url"), ["url_hash", "url"],
+                       "left_anti"))
+    else:
+        fresh = cand.join(seen.select("url_hash", "url"),
+                          ["url_hash", "url"], "left_anti")
     fresh = with_robots_state(fresh, robots)
     rank_keys = ["parent_order", "link_index", "url_hash"]
     if n_wave <= _SMALL_WAVE:
@@ -325,17 +374,21 @@ def run_superstep(
     )
     metrics = part_rows.unionByName(totals)
 
-    storage.commit(
-        s + 1,
-        {
-            "frontier": frontier_next,
-            "budgets": budgets_next,
-            "seen": seen_delta,
-            "results": results,
-            "metrics": metrics,
-        },
-        extra={"stats_pending": n_pending},
-    )
+    tables = {
+        "frontier": frontier_next,
+        "budgets": budgets_next,
+        "seen": seen_delta,
+        "results": results,
+        "metrics": metrics,
+    }
+    if use_bloom:
+        # fold the new keys in; never (re)create a bloom mid-run — a bloom
+        # missing earlier keys would cause false negatives (= lost dedup)
+        tables["bloom"] = update_bloom(
+            bloom_tbl, new_rows.select("url_hash"),
+            num_buckets=cfg.bloom_num_buckets,
+            n_bits=cfg.bloom_bucket_bits, n_hashes=cfg.bloom_num_hashes)
+    storage.commit(s + 1, tables, extra={"stats_pending": n_pending})
 
     tot = _read_totals_row(storage, s)
     man = storage.manifest(s + 1)

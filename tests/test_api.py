@@ -1,0 +1,79 @@
+"""Reference-shaped API: New/URLProvider/AddLayer/Do re-expressed
+(remilia.go:166-185) with user layer callbacks + hook chains."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remilia_spark.api import Remilia
+from remilia_spark.config import CrawlConfig
+from remilia_spark.extract import extract
+
+
+def _load(spark, corpus_dir):
+    return (spark.read.parquet(str(corpus_dir / "pages.parquet")),
+            spark.read.parquet(str(corpus_dir / "robots.parquet")))
+
+
+def test_two_layer_do(spark, tiny_corpus, tmp_path):
+    """cmd/dev/main.go:40-69 shape: seed -> extract links -> extract text."""
+    c, corpus_dir = tiny_corpus
+    pages, robots = _load(spark, corpus_dir)
+    rem = Remilia(spark, CrawlConfig(max_attempt=1))
+
+    def layer1(html: bytes, url: str):
+        links, _ = extract(html)
+        return links, ""          # first layer: only route links onward
+
+    def layer2(html: bytes, url: str):
+        _, text = extract(html)
+        first_p = text.split("\n")[2] if text.count("\n") >= 2 else ""
+        return [], first_p        # last layer: value only (put is inert)
+
+    seed = c.seeds["url"].iloc[0]
+    run = rem.do(rem.url_provider(seed),
+                 rem.add_layer(layer1), rem.add_layer(layer2),
+                 pages=pages, robots=robots, state_dir=tmp_path / "s")
+    res = {r["url"]: (r["depth"], r["text"]) for r in run.results().collect()}
+    assert res[seed][0] == 0 and res[seed][1] == ""
+    depth1 = {u: t for u, (d, t) in res.items() if d == 1}
+    assert depth1  # layer 2 ran on discovered pages
+    golden = {r["url"]: r["text"] for _, r in c.pages.iterrows()}
+    for u, t in depth1.items():
+        want = golden[u].split("\n")[2] if golden[u].count("\n") >= 2 else ""
+        assert t == want
+    # last layer's hrefs are discarded: nothing at depth 2
+    assert not any(d == 2 for d, _ in res.values())
+
+
+def test_default_layer_and_hooks(spark, tiny_corpus, tmp_path):
+    c, corpus_dir = tiny_corpus
+    pages, robots = _load(spark, corpus_dir)
+    rem = Remilia(spark, CrawlConfig(max_attempt=1))
+
+    seen_hooks = []
+
+    def pre_hook(df):
+        seen_hooks.append("pre")
+        return df  # column transform seam (WithHeaders analogue)
+
+    def post_hook(df):
+        seen_hooks.append("post")
+        return df.withColumn("text", F.upper("text"))
+
+    run = rem.do(rem.url_provider(c.seeds["url"].iloc[0]),
+                 rem.add_layer(), rem.add_layer(),
+                 pages=pages, robots=robots, state_dir=tmp_path / "s",
+                 pre_fetch_hooks=[pre_hook], post_parse_hooks=[post_hook])
+    texts = [r["text"] for r in run.results().collect() if r["text"]]
+    assert texts and all(t == t.upper() for t in texts)
+    assert "pre" in seen_hooks and "post" in seen_hooks
+
+
+def test_provider_validation(spark):
+    rem = Remilia(spark)
+    with pytest.raises(ValueError):
+        rem.url_provider()
+    with pytest.raises(ValueError):
+        rem.do(rem.url_provider("http://a.test/"), pages=None, state_dir="/tmp/x")
