@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import CrawlConfig
-from .frontier import run_superstep, seed_frontier
+from .frontier import frontier_head, run_superstep, seed_frontier
 from .storage import (
     BUDGETS_SCHEMA,
     METRICS_SCHEMA,
@@ -102,16 +102,41 @@ class Engine:
             else cfg.max_supersteps
         run = CrawlRun(storage=storage, last_superstep=last)
         s = last
+        head = frontier_head(storage, s)
         while s < limit:
+            # done when the committed frontier carries no pending rows
+            # (reference analogue: channels drained, pipeline.go:142-158)
+            if head["pending"] == 0:
+                break
+            eligible = sum(c for k, c in head["hist"].items() if k <= s)
+            if eligible == 0:
+                # every pending row is backing off: fast-forward the clock
+                # with pure manifest-alias commits — zero Spark jobs
+                next_s = min(k for k in head["hist"] if k > s)
+                next_s = min(next_s, limit)
+                reuse_keys = ["frontier", "budgets"]
+                if "bloom" in storage.manifest(s)["tables"]:
+                    reuse_keys.append("bloom")
+                for t in range(s, next_s):
+                    stats = {"superstep": t, "pending": head["pending"],
+                             "eligible": 0, "wave": 0, "fetched": 0,
+                             "discovered": 0,
+                             "pending_after": head["pending"], "idle": True}
+                    storage.commit(t + 1, {}, extra={"stats": stats},
+                                   reuse={k: s for k in reuse_keys})
+                    run.stats.append(stats)
+                s = next_s
+                run.last_superstep = s
+                continue
             stats = run_superstep(self.spark, storage, pages, robots, cfg, s,
                                   layer_fns=layer_fns,
                                   pre_fetch_hooks=pre_fetch_hooks,
-                                  post_parse_hooks=post_parse_hooks)
+                                  post_parse_hooks=post_parse_hooks,
+                                  head=head)
             run.stats.append(stats)
             s += 1
             run.last_superstep = s
-            # done when the committed frontier carries no pending rows
-            # (reference analogue: channels drained, pipeline.go:142-158)
             if stats["pending_after"] == 0:
                 break
+            head = frontier_head(storage, s)
         return run

@@ -136,6 +136,23 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame,
     return frontier, seen
 
 
+def frontier_head(storage: ParquetSnapshotStorage, s: int) -> dict:
+    """One small job over the committed frontier: pending count, the
+    histogram of pending ``next_eligible`` values (lets the driver skip
+    idle supersteps without any Spark work), and the max discovery order."""
+    frontier = storage.read_snapshot("frontier", s)
+    key = F.when(F.col("state") == "pending", F.col("next_eligible")) \
+        .otherwise(F.lit(-1))
+    rows = frontier.groupBy(key.alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("discovery_order").alias("mo"),
+    ).collect()
+    hist = {int(r["k"]): int(r["n"]) for r in rows if r["k"] >= 0}
+    max_order = max((int(r["mo"] or 0) for r in rows), default=0)
+    return {"pending": sum(hist.values()), "hist": hist,
+            "max_order": max_order}
+
+
 def _read_totals_row(storage: ParquetSnapshotStorage, s: int) -> dict:
     """Driver-local read of the committed metrics totals row (no Spark job)."""
     man = storage.manifest(s + 1)
@@ -156,11 +173,14 @@ def run_superstep(
     layer_fns=None,
     pre_fetch_hooks=None,
     post_parse_hooks=None,
+    head: dict | None = None,
 ) -> dict:
     """Run superstep ``s`` on committed state ``s`` and commit ``s + 1``.
 
-    Returns the stats dict recorded into the manifest; the engine loop
-    terminates when ``stats['pending_after'] == 0``.
+    ``head`` (from ``frontier_head``) carries pending/eligible/max_order so
+    the engine loop pays one aggregate per *busy* superstep and none for
+    idle ones.  Returns the stats dict recorded into the manifest; the
+    engine loop terminates when ``stats['pending_after'] == 0``.
     """
     t0 = time.monotonic()
     frontier = storage.read_snapshot("frontier", s)
@@ -168,14 +188,11 @@ def run_superstep(
 
     is_pending = F.col("state") == "pending"
     is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
-    head = frontier.agg(
-        F.sum(is_pending.cast("long")).alias("pending"),
-        F.sum(is_eligible.cast("long")).alias("eligible"),
-        F.max("discovery_order").alias("max_order"),
-    ).collect()[0]
-    n_pending = int(head["pending"] or 0)
-    n_eligible = int(head["eligible"] or 0)
-    max_order = int(head["max_order"] or 0)
+    if head is None:
+        head = frontier_head(storage, s)
+    n_pending = head["pending"]
+    n_eligible = sum(c for k, c in head["hist"].items() if k <= s)
+    max_order = head["max_order"]
 
     if n_eligible == 0:
         # idle step (all pending rows are backing off): advance the clock
