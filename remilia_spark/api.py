@@ -58,6 +58,30 @@ class _Layer:
     fn: LayerFn | None = None
 
 
+def with_headers(headers: dict[str, str]):
+    """``WithHeaders`` (client.go:262-272) — static header columns on the
+    wave.  Irrelevant to the corpus join, kept for API fidelity: downstream
+    hooks/layers can read ``hdr_<name>`` columns."""
+    from pyspark.sql import functions as F
+
+    def hook(df: DataFrame) -> DataFrame:
+        for k, v in headers.items():
+            df = df.withColumn(f"hdr_{k.lower().replace('-', '_')}", F.lit(v))
+        return df
+    return hook
+
+
+def with_user_agent(generator: Callable[[], str]):
+    """``WithUserAgentGenerator`` (client.go:284-292) — UA column from a
+    generator; called once per superstep plan (deterministic runs should
+    pass a pure function)."""
+    from pyspark.sql import functions as F
+
+    def hook(df: DataFrame) -> DataFrame:
+        return df.withColumn("hdr_user_agent", F.lit(generator()))
+    return hook
+
+
 class Remilia:
     """``New(opts...)`` equivalent — holds session + config, spawns nothing."""
 

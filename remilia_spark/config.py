@@ -36,6 +36,10 @@ class CrawlConfig:
     # scale knobs
     shuffle_partitions: int = 32
     rank_partitions: int = 32          # range partitions for global ranking
+    # waves at or below this size rank discoveries with a plain global
+    # window (one small shuffle, no extra action); larger waves use the
+    # range-partitioned scalable rank — both produce identical values
+    rank_small_wave: int = 10_000
     skew_threshold: int = 50_000       # pending rows per host before salting
     broadcast_wave_max: int = 2_000_000  # wave rows under which to hint broadcast
     # bloom prefilter for the seen anti-join (bloom.py); per-bucket bitmap

@@ -57,12 +57,6 @@ _PARSE_SCHEMA = (
     "host_rank int, links array<string>, text string"
 )
 
-# waves at or below this size rank new discoveries with a plain global
-# window (one small shuffle, no extra driver action); larger waves use the
-# scalable range-partitioned rank
-_SMALL_WAVE = 10_000
-
-
 def _parse_batches_factory(layer_fns=None):
     """Build the parse-stage mapInPandas fn.
 
@@ -269,6 +263,7 @@ def run_superstep(
         .persist()
     )
 
+    rank_cleanup: list = []
     seen = storage.read_deltas("seen", s, SEEN_SCHEMA)
     use_bloom = (cfg.bloom_enabled
                  and "bloom" in storage.manifest(s)["tables"])
@@ -297,7 +292,7 @@ def run_superstep(
                           ["url_hash", "url"], "left_anti")
     fresh = with_robots_state(fresh, robots)
     rank_keys = ["parent_order", "link_index", "url_hash"]
-    if n_wave <= _SMALL_WAVE:
+    if n_wave <= cfg.rank_small_wave:
         w = Window.orderBy(*rank_keys)
         fresh = fresh.withColumn(
             "discovery_order",
@@ -305,7 +300,8 @@ def run_superstep(
     else:
         fresh = global_rank(fresh, rank_keys, "discovery_order",
                             start=max_order + 1,
-                            num_partitions=cfg.rank_partitions)
+                            num_partitions=cfg.rank_partitions,
+                            cleanup=rank_cleanup)
     new_rows = fresh.select(
         "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
         "link_index",
@@ -423,6 +419,6 @@ def run_superstep(
             + (n_new - tot["robots_blocked"])
         ),
     }
-    for df in (wave, parsed, cand, new_rows):
+    for df in (wave, parsed, cand, new_rows, *rank_cleanup):
         df.unpersist()
     return stats

@@ -34,14 +34,26 @@ HOST_ORDER = ("depth", "discovery_order")
 
 
 def global_rank(df: DataFrame, keys: list[str], out_col: str,
-                start: int = 0, num_partitions: int = 32) -> DataFrame:
+                start: int = 0, num_partitions: int = 32,
+                cleanup: list | None = None) -> DataFrame:
     """Attach ``out_col`` = start + global sort position over ``keys``.
 
     ``keys`` must be a unique composite (ours end with url_hash) so the
     ordering — and therefore the rank — is total and deterministic.
+
+    The range-partitioned frame MUST be persisted: range boundaries come
+    from reservoir sampling over nondeterministically-ordered shuffle
+    output, so a recomputation can land rows in different partitions than
+    the ones the offsets were counted from — producing duplicate/skipped
+    ranks.  Pinning one materialization makes the offsets and the window
+    agree; the rank *values* equal the global sort position either way, so
+    they are reproducible across runs and parallelism levels.  Callers
+    pass ``cleanup`` and unpersist after their superstep commits.
     """
     part = df.repartitionByRange(num_partitions, *keys) \
-             .withColumn("_pid", F.spark_partition_id())
+             .withColumn("_pid", F.spark_partition_id()).persist()
+    if cleanup is not None:
+        cleanup.append(part)
     # offsets: cumulative count of earlier partitions (tiny — P rows)
     counts = part.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, start

@@ -71,6 +71,33 @@ def test_default_layer_and_hooks(spark, tiny_corpus, tmp_path):
     assert "pre" in seen_hooks and "post" in seen_hooks
 
 
+def test_header_and_ua_hooks(spark, tiny_corpus, tmp_path):
+    """WithHeaders / WithUserAgentGenerator sugar (client.go:262-292)."""
+    from remilia_spark.api import with_headers, with_user_agent
+
+    c, corpus_dir = tiny_corpus
+    pages, robots = _load(spark, corpus_dir)
+    rem = Remilia(spark, CrawlConfig(max_attempt=1))
+    captured = {}
+
+    def capture(df):
+        captured["cols"] = df.columns
+        return df
+
+    run = rem.do(rem.url_provider(c.seeds["url"].iloc[0]),
+                 rem.add_layer(), rem.add_layer(),
+                 pages=pages, robots=robots, state_dir=tmp_path / "s",
+                 pre_fetch_hooks=[
+                     with_headers({"Accept-Language": "en", "X-Test": "1"}),
+                     with_user_agent(lambda: "remilia-spark/0.1"),
+                     capture,
+                 ])
+    assert run.results().count() > 0
+    assert "hdr_accept_language" in captured["cols"]
+    assert "hdr_x_test" in captured["cols"]
+    assert "hdr_user_agent" in captured["cols"]
+
+
 def test_provider_validation(spark):
     rem = Remilia(spark)
     with pytest.raises(ValueError):

@@ -52,7 +52,11 @@ def _assert_match(run, want, cfg):
     CrawlConfig(max_depth=2, bucket_capacity=3, fill_quantum=1,
                 initial_tokens=2, max_supersteps=60),  # tight budgets defer
     CrawlConfig(max_depth=2, wave_size=7, max_supersteps=80),  # global cap
-], ids=["two-layer", "deep", "tight-budget", "wave-cap"])
+    # force the scalable range-partitioned discovery rank (the path big
+    # waves take at 10^10 scale) — values must equal the oracle's exactly
+    CrawlConfig(max_depth=2, max_supersteps=40, rank_small_wave=0,
+                rank_partitions=4),
+], ids=["two-layer", "deep", "tight-budget", "wave-cap", "scalable-rank"])
 def test_engine_matches_oracle(spark, tiny_corpus, tmp_path, cfg):
     c, corpus_dir = tiny_corpus
     pages, seeds, robots = _load(spark, corpus_dir)
