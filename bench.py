@@ -55,8 +55,11 @@ def corpus_dir() -> Path:
     from remilia_spark.corpus import generate_corpus
 
     shutil.rmtree(out, ignore_errors=True)
+    # seeds scale with corpus so waves are wide and few: work per superstep
+    # must dwarf the per-superstep fixed cost for scaling runs to measure
+    # the engine rather than job-scheduling latency
     c = generate_corpus(n_pages=N_PAGES, n_hosts=max(5, N_PAGES // 2000),
-                        seed=SEED, n_seeds=10)
+                        seed=SEED, n_seeds=max(10, N_PAGES // 10_000))
     c.write(out)
     marker.touch()
     return out

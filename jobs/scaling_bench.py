@@ -1,13 +1,18 @@
 """N vs 4N scaling evidence (north rule: >=0.8 efficiency N -> 4N executors).
 
 A real multi-executor cluster cannot run in this sandbox, so the same job is
-run at two parallelism levels on identical input — ``local[8]`` vs
-``local[32]`` (separate JVMs via subprocess, since a SparkContext's core
-count is fixed at startup) — and efficiency is reported as
+run at two parallelism levels on identical input (separate JVMs via
+subprocess, since a SparkContext's core count is fixed at startup) and
+efficiency is reported as
 
-    eff = (throughput_32 / throughput_8) / (32 / 8)
+    eff = (throughput_4N / throughput_N) / 4
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Default levels are ``local[2]`` vs ``local[8]`` (override with
+SPARK_GRAFT_SCALE="N,4N"): a raw-CPU probe (included in the report) shows
+this host delivers ~8 proportional cores but only ~10.6 effective cores at
+32 threads, so 8->32 measures the host's SMT/tenancy ceiling, not the
+engine; 2->8 runs on genuinely proportional hardware.  Writes
+BENCH/BASELINE.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -24,6 +29,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # larger corpus than the plain bench: the scaling claim should measure how
 # *work* scales with cores, so waves must dwarf per-superstep fixed costs
 BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000")
+SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2,8")
+N_LOW, N_HIGH = (int(x) for x in SCALE.split(","))
+
+
+def _burn(n):  # module-level: ProcessPoolExecutor must pickle it
+    import hashlib
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h
+
+
+def cpu_probe() -> dict:
+    """Raw parallel CPU capacity at the two levels (hardware honesty check)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    burn = _burn
+    out = {}
+    for workers in (1, N_LOW, N_HIGH, 32):
+        t0 = time.time()
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(burn, [200_000] * workers))
+        out[workers] = round(workers / (time.time() - t0), 1)
+    return out
 
 
 def run_bench(cpus: int, crawl_only: bool = False) -> dict:
@@ -43,33 +72,42 @@ def run_bench(cpus: int, crawl_only: bool = False) -> dict:
 def main() -> int:
     # warm the corpus cache so neither run pays generation cost
     t0 = time.time()
-    # the sandbox shares hardware and single timings are noisy: interleave
-    # 8/32 runs and keep the best crawl throughput per parallelism level
-    low = run_bench(8)
-    high = run_bench(32)
-    low2 = run_bench(8, crawl_only=True)
-    high2 = run_bench(32, crawl_only=True)
-    if low2["value"] > low["value"]:
-        low = {**low, "value": low2["value"],
-               "queries": {**low["queries"], "crawl": low2["queries"]["crawl"]}}
-    if high2["value"] > high["value"]:
-        high = {**high, "value": high2["value"],
-                "queries": {**high["queries"],
-                            "crawl": high2["queries"]["crawl"]}}
-    assert low.get("crawl_order_hash") == low2.get("crawl_order_hash")
-    assert high.get("crawl_order_hash") == high2.get("crawl_order_hash")
-    tput_low = low["value"]
-    tput_high = high["value"]
-    eff = (tput_high / tput_low) / (32 / 8) if tput_low else 0.0
-    ordering_match = (low.get("crawl_order_hash")
-                      == high.get("crawl_order_hash"))
+    # The host is multi-tenant: throughput fluctuates ~2-4x on a timescale
+    # of minutes (the CPU probe itself varies 1.5x between runs), so one
+    # low/high pair is meaningless. We run ROUNDS back-to-back interleaved
+    # pairs — within a pair the ambient load is maximally correlated —
+    # compute the efficiency of each pair, and report the median (all
+    # rounds are listed in the JSON for inspection).
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    probe = cpu_probe()
+    low = run_bench(N_LOW)          # full query table, once per level
+    high = run_bench(N_HIGH)
+    pairs = [(low["value"], high["value"])]
+    hashes = {low["crawl_order_hash"], high["crawl_order_hash"]}
+    for _ in range(rounds - 1):
+        lo = run_bench(N_LOW, crawl_only=True)
+        hi = run_bench(N_HIGH, crawl_only=True)
+        pairs.append((lo["value"], hi["value"]))
+        hashes |= {lo["crawl_order_hash"], hi["crawl_order_hash"]}
+    effs = sorted((hi / lo) / (N_HIGH / N_LOW) for lo, hi in pairs)
+    eff = effs[len(effs) // 2] if len(effs) % 2 else \
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    tput_low = max(p[0] for p in pairs)
+    tput_high = max(p[1] for p in pairs)
+    ordering_match = len(hashes) == 1  # every run, both levels, all rounds
     report = {
-        "crawl_ordering_match_8_vs_32": ordering_match,
-        "metric": "scaling_efficiency_8_to_32",
+        "crawl_ordering_match_across_parallelism": ordering_match,
+        "metric": f"scaling_efficiency_{N_LOW}_to_{N_HIGH}",
+        "cpu_probe_units_per_sec": probe,
         "value": round(eff, 3),
         "unit": "ratio",
-        "urls_per_sec": {"local[8]": tput_low, "local[32]": tput_high},
-        "queries": {"local[8]": low["queries"], "local[32]": high["queries"]},
+        "rounds": [{"low": lo, "high": hi,
+                    "eff": round((hi / lo) / (N_HIGH / N_LOW), 3)}
+                   for lo, hi in pairs],
+        "urls_per_sec": {f"local[{N_LOW}]": tput_low,
+                         f"local[{N_HIGH}]": tput_high},
+        "queries": {f"local[{N_LOW}]": low["queries"],
+                    f"local[{N_HIGH}]": high["queries"]},
         "sf": low["sf"],
         "wall_sec": round(time.time() - t0, 1),
     }
@@ -80,27 +118,39 @@ def main() -> int:
         "",
         "North rule: >=0.8 throughput scaling efficiency from N to 4N",
         "executors. No real cluster exists in this sandbox, so the same",
-        "crawl job runs on identical input at `local[8]` and `local[32]`",
-        "(separate JVMs); the crawl corpus is pre-generated and cached so",
-        "both runs time Spark execution only.",
+        "crawl job runs on identical input at two local parallelism",
+        "levels (separate JVMs); the corpus is pre-generated and cached so",
+        "runs time Spark execution only. The host is multi-tenant and",
+        "noisy (ambient throughput swings 2-4x over minutes), so the",
+        "efficiency is the MEDIAN over back-to-back interleaved low/high",
+        "pairs; per-round numbers are in the JSON.",
+        "",
+        "**Why 2 vs 8 cores and not 8 vs 32:** a raw-CPU probe (below)",
+        "shows this host scales nearly linearly to 8 processes but tops",
+        "out at ~10.6 effective cores for 32 threads (SMT + tenancy), so",
+        "8->32 would measure the hardware ceiling, not the engine. The",
+        "probe is rerun and embedded in every report.",
         "",
         f"Input: `{SF_DIR}` (+ synthetic corpus, "
         f"{low.get('crawl_urls_processed', '?')} URLs processed).",
         "",
+        f"CPU probe (hash-burn units/sec by process count): {probe}",
+        "",
         "| config | crawl URLs/sec | crawl sec | minhash | doc_stats | "
         "embed_topk | frontier_ops |",
         "|---|---|---|---|---|---|---|",
-        f"| local[8]  | {tput_low} | {low['queries']['crawl']} | "
+        f"| local[{N_LOW}]  | {tput_low} | {low['queries']['crawl']} | "
         f"{low['queries']['minhash_dedup']} | {low['queries']['doc_stats']} | "
         f"{low['queries']['embed_topk']} | {low['queries']['frontier_ops']} |",
-        f"| local[32] | {tput_high} | {high['queries']['crawl']} | "
+        f"| local[{N_HIGH}] | {tput_high} | {high['queries']['crawl']} | "
         f"{high['queries']['minhash_dedup']} | {high['queries']['doc_stats']} | "
         f"{high['queries']['embed_topk']} | {high['queries']['frontier_ops']} |",
         "",
-        f"**Scaling efficiency (8→32 cores): "
-        f"{report['value']}** = ({tput_high} / {tput_low}) / 4",
+        f"**Scaling efficiency ({N_LOW}→{N_HIGH} cores): "
+        f"{report['value']}** (median over {len(pairs)} interleaved rounds: "
+        f"{[r['eff'] for r in report['rounds']]})",
         "",
-        f"**Crawl-ordering match across parallelism (8 vs 32): "
+        f"**Crawl-ordering match across parallelism ({N_LOW} vs {N_HIGH}): "
         f"{ordering_match}** (md5 over the canonical fetch log)",
         "",
         "```json",
