@@ -39,6 +39,62 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _shingle_sql(k: int) -> str:
+    """k-word shingle list over token list ``t`` (DuckDB list comprehension),
+    mirroring dedup.shingles: whole text as one shingle when 0 < len < k."""
+    return (f"CASE WHEN len(t) >= {k} THEN "
+            f"[array_to_string(t[i:i+{k - 1}], ' ') "
+            f"for i in range(1, len(t) - {k - 2})] "
+            f"WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
+            f"ELSE CAST([] AS VARCHAR[]) END")
+
+
+def _neardup_sql(k: int, num_perm: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of MinHash -> banded LSH -> shingle-Jaccard verify.
+
+    The Spark side buckets on md5(sorted 'perm:minhash' strings); equality
+    of those md5s is equality of the sorted concatenations, so the oracle
+    joins on the concatenated string directly.
+    """
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    r = num_perm // bands
+    return f"""
+        WITH t AS (SELECT doc_id, {toks_l} AS t FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingle_sql(k)})) AS shingle
+          FROM t),
+        hp AS (
+          SELECT doc_id, p.perm AS perm,
+                 {_HASH60_SQL.format(x="shingle || '|' || p.perm")} AS h
+          FROM sh CROSS JOIN
+               (SELECT unnest(range(0, {num_perm})) AS perm) p),
+        sig AS (
+          SELECT doc_id, perm, MIN(h) AS minhash
+          FROM hp GROUP BY doc_id, perm),
+        bk AS (
+          SELECT doc_id, CAST(perm // {r} AS INT) AS band,
+                 string_agg(perm::VARCHAR || ':' || minhash::VARCHAR, ','
+                            ORDER BY perm::VARCHAR || ':' || minhash::VARCHAR)
+                   AS sig_s
+          FROM sig GROUP BY doc_id, band),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.sig_s = b.sig_s
+           AND a.doc_id < b.doc_id),
+        sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+        j AS (
+          SELECT p.doc_a, p.doc_b,
+                 len(list_intersect(sa.s, sb.s)) AS i,
+                 len(list_distinct(list_concat(sa.s, sb.s))) AS u
+          FROM pairs p
+          JOIN sets sa ON sa.doc_id = p.doc_a
+          JOIN sets sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, ROUND(i / CAST(u AS DOUBLE), 6) AS jaccard
+        FROM j WHERE i / CAST(u AS DOUBLE) >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # flagship crawl: corpus derived from `documents`, full engine end-to-end
 # ---------------------------------------------------------------------------
@@ -113,9 +169,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_seen_antijoin_dedup(spark, sf):
-    """R12/§4.2: URL-seen dedup as a left-anti join (events stand in)."""
+    """R12/§4.2: URL-seen dedup as a left-anti join (events stand in).
+
+    The seen predicate is on user_id (not event_id) so a nonempty fresh
+    remainder survives at every sf — a 0-row result would make the oracle
+    check vacuous.
+    """
     ev = _read(spark, sf, "events")
-    seen = ev.where(F.col("event_id") % 10 < 3).select("user_id").distinct()
+    seen = ev.where(F.col("user_id") % 3 == 0).select("user_id").distinct()
     return (
         ev.join(seen, "user_id", "left_anti")
         .groupBy("event_type")
@@ -249,25 +310,22 @@ def q_doc_simhash(spark, sf):
 
 
 def q_doc_ngram_jaccard(spark, sf):
-    """Blocked pairwise word-set Jaccard (verify stage of near-dup)."""
+    """n-gram (word-bigram) Jaccard verify driven by LSH candidates.
+
+    The candidate stage is banded MinHash — bucketed, never the quadratic
+    all-pairs-per-length-block join (which put every similar-length doc in
+    one block and would explode at 100x scale).
+    """
     d = _read(spark, sf, "documents")
-    ws = d.select(
-        "doc_id", (F.col("n_chars") / F.lit(128)).cast("long").alias("block"),
-        F.array_distinct(textstats.tokens_col(F.lower(F.col("text")))).alias("w"))
-    a = ws.select(F.col("doc_id").alias("doc_a"), "block",
-                  F.col("w").alias("wa"))
-    b = ws.select(F.col("doc_id").alias("doc_b"), "block",
-                  F.col("w").alias("wb"))
-    inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size("wa") + F.size("wb") - inter
-    return (
-        a.join(b, "block")
-        .where((F.col("doc_a") < F.col("doc_b"))
-               & (F.size("wa") > 0) & (F.size("wb") > 0))
-        .select("doc_a", "doc_b",
-                F.round(inter / union, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.2)
-    )
+    pairs = dedup.lsh_candidate_pairs(d, k=2, num_perm=8, bands=4)
+    return dedup.jaccard_pairs(d, pairs, k=2, threshold=0.2)
+
+
+def q_doc_near_dup_lsh(spark, sf):
+    """Full near-dup pipeline: MinHash -> banded LSH -> shingle Jaccard."""
+    d = _read(spark, sf, "documents")
+    return dedup.minhash_near_duplicates(d, k=3, num_perm=8, bands=4,
+                                         threshold=0.5)
 
 
 def q_embed_cosine_topk(spark, sf):
@@ -277,12 +335,16 @@ def q_embed_cosine_topk(spark, sf):
                       F.col("rank").cast("long").alias("nn_rank"))
 
 
-# rows-only (no SQL oracle): numpy LSH + the iterative crawl itself
+# rows-only (no SQL oracle): numpy LSH + the iterative crawl itself.
+# Recall of the LSH path vs the exact cosine_topk oracle is gated by
+# tests/test_ann_recall.py (>= 0.9 @ k=5 on the driver tables).
 def q_embed_ann_lsh(spark, sf):
     emb = _read(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    first = emb.select("embedding").first()
+    dim = len(first["embedding"])
     out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10),
-                              dim=dim, k=5, planes=6)
+                              dim=dim, k=5, planes=None, tables=8,
+                              n_corpus=emb.count())
     return out.select("query_id", "neighbor_id",
                       F.col("rank").cast("long").alias("nn_rank"), "cos")
 
@@ -293,7 +355,8 @@ def q_embed_near_dup(spark, sf):
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.48 at
     # dim 64), so "near-dup" here means the top of that distribution
     return similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
-                                                planes=4)
+                                                planes=None, tables=8,
+                                                n_corpus=emb.count())
 
 
 def q_crawl_flagship(spark, sf):
@@ -318,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
@@ -331,7 +395,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "seen_antijoin_dedup": """
             WITH seen AS (
-              SELECT DISTINCT user_id FROM events WHERE event_id % 10 < 3)
+              SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
             SELECT e.event_type,
                    COUNT(*) AS n_fresh,
                    MIN(e.event_id) AS min_event_id
@@ -492,19 +556,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
-        "doc_ngram_jaccard": f"""
-            WITH ws AS (
-              SELECT doc_id, n_chars // 128 AS block,
-                     list_distinct({toks_l}) AS w
-              FROM documents),
-            p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     len(list_intersect(a.w, b.w)) AS i,
-                     len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS u
-              FROM ws a JOIN ws b ON a.block = b.block AND a.doc_id < b.doc_id
-              WHERE len(a.w) > 0 AND len(b.w) > 0)
-            SELECT doc_a, doc_b, ROUND(i / CAST(u AS DOUBLE), 6) AS jaccard
-            FROM p WHERE i / CAST(u AS DOUBLE) >= 0.2
+        "doc_ngram_jaccard": _neardup_sql(k=2, num_perm=8, bands=4,
+                                          threshold=0.2),
+        "doc_near_dup_lsh": _neardup_sql(k=3, num_perm=8, bands=4,
+                                         threshold=0.5),
+        # Flagship crawl: the corpus is derived deterministically from
+        # `documents` (_derived_corpus), so the whole BFS unrolls into SQL:
+        # depth-d pages fetch at superstep d (budgets never bind at this
+        # corpus size — asserted from engine stats: budget_deferred = 0 —
+        # and attempt-1 backoff is deterministically 1 step because
+        # cap = min_delay * 1^multiplier = min_delay).  host_rank must rank
+        # the WHOLE granted wave (missing urls and depth-1 retries
+        # included) before filtering to fetched rows — exactly the
+        # oracle.crawl rule.  Link layout per fetched doc x (host h=x%7):
+        # li0 x+1, li1 2x+1, li2 x+9 (absolute, correct host), li3 rel
+        # /doc/(x+2) on host h (never a real page since (x+2)%7 != h),
+        # li4 dup of li0, li5 javascript (rejected by the canonicalizer).
+        "crawl_flagship": """
+            WITH lvl0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS x,
+                     CAST(doc_id % 7 AS BIGINT) AS h,
+                     'http://host' || (doc_id % 7) || '.test/doc/' || doc_id
+                       AS url,
+                     CAST(doc_id AS BIGINT) AS ord
+              FROM documents WHERE doc_id < 3),
+            links1 AS (
+              SELECT ord AS parent_order, li, tx, th,
+                     'http://host' || th || '.test/doc/' || tx AS url
+              FROM (
+                SELECT ord, 0 AS li, x + 1 AS tx, (x + 1) % 7 AS th FROM lvl0
+                UNION ALL SELECT ord, 1, 2 * x + 1, (2 * x + 1) % 7 FROM lvl0
+                UNION ALL SELECT ord, 2, x + 9, (x + 9) % 7 FROM lvl0
+                UNION ALL SELECT ord, 3, x + 2, h FROM lvl0
+                UNION ALL SELECT ord, 4, x + 1, (x + 1) % 7 FROM lvl0)),
+            d1 AS (
+              SELECT url, tx, th, parent_order, li FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY url ORDER BY parent_order, li) AS rn
+                FROM links1)
+              WHERE rn = 1 AND url NOT IN (SELECT url FROM lvl0)),
+            r1 AS (
+              SELECT url, tx, th,
+                     2 + ROW_NUMBER() OVER (ORDER BY parent_order, li) AS ord,
+                     (th = 6 AND CAST(tx AS VARCHAR) LIKE '13%') AS filt,
+                     (tx < 200 AND tx % 7 = th) AS ex
+              FROM d1),
+            w1 AS (
+              SELECT url, tx, th, ord, ex,
+                     ROW_NUMBER() OVER (PARTITION BY th ORDER BY ord)
+                       AS host_rank
+              FROM r1 WHERE NOT filt),
+            f1 AS (SELECT * FROM w1 WHERE ex),
+            links2 AS (
+              SELECT ord AS parent_order, li, tx2 AS tx, th2 AS th,
+                     'http://host' || th2 || '.test/doc/' || tx2 AS url
+              FROM (
+                SELECT ord, 0 AS li, tx + 1 AS tx2, (tx + 1) % 7 AS th2 FROM f1
+                UNION ALL SELECT ord, 1, 2 * tx + 1, (2 * tx + 1) % 7 FROM f1
+                UNION ALL SELECT ord, 2, tx + 9, (tx + 9) % 7 FROM f1
+                UNION ALL SELECT ord, 3, tx + 2, th FROM f1
+                UNION ALL SELECT ord, 4, tx + 1, (tx + 1) % 7 FROM f1)),
+            d2 AS (
+              SELECT url, tx, th, parent_order, li FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY url ORDER BY parent_order, li) AS rn
+                FROM links2)
+              WHERE rn = 1
+                AND url NOT IN (SELECT url FROM lvl0)
+                AND url NOT IN (SELECT url FROM r1)),
+            r2 AS (
+              SELECT url, tx, th,
+                     (SELECT 2 + COUNT(*) FROM r1)
+                       + ROW_NUMBER() OVER (ORDER BY parent_order, li) AS ord,
+                     (th = 6 AND CAST(tx AS VARCHAR) LIKE '13%') AS filt,
+                     (tx < 200 AND tx % 7 = th) AS ex
+              FROM d2),
+            w2 AS (
+              SELECT url, th, ord, ex, depth,
+                     ROW_NUMBER() OVER (PARTITION BY th
+                                        ORDER BY depth, ord) AS host_rank
+              FROM (
+                SELECT url, th, ord, FALSE AS ex, 1 AS depth
+                FROM r1 WHERE NOT filt AND NOT ex  -- retries: ne = 1+1 = 2
+                UNION ALL
+                SELECT url, th, ord, ex, 2 AS depth
+                FROM r2 WHERE NOT filt))
+            SELECT CAST(0 AS BIGINT) AS superstep, url,
+                   CAST(0 AS BIGINT) AS depth,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY ord)
+                     AS host_rank,
+                   ord AS discovery_order
+            FROM lvl0
+            UNION ALL
+            SELECT 1, url, 1, host_rank, ord FROM f1
+            UNION ALL
+            SELECT 2, url, 2, host_rank, ord FROM w2
+            WHERE depth = 2 AND ex
         """,
         "embed_cosine_topk": """
             SELECT query_id, neighbor_id, nn_rank FROM (

@@ -48,7 +48,10 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
 
 
 def corpus_dir() -> Path:
-    out = Path(tempfile.gettempdir()) / f"remilia_bench_corpus_{N_PAGES}_{SEED}"
+    from remilia_spark.corpus import CORPUS_VERSION
+
+    out = Path(tempfile.gettempdir()) / \
+        f"remilia_bench_corpus_v{CORPUS_VERSION}_{N_PAGES}_{SEED}"
     marker = out / "_DONE"
     if marker.exists():
         return out

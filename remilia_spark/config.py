@@ -20,6 +20,14 @@ class CrawlConfig:
     max_depth: int = 1
     max_supersteps: int = 64
     wave_size: int | None = None  # optional global per-superstep fetch cap
+    # response-body charset for the parse stage (the reference's optional
+    # charset transformer, client.go:228-233, applied client.go:153-155);
+    # decoding uses errors='replace' like a lenient transform reader
+    charset: str = "utf-8"
+    # optional domain allowlist (the reference's dead `limit` type carries
+    # AllowedDomain, limit.go:5-15): when non-empty, discovered URLs whose
+    # host is not in the set enter the frontier as state='filtered'
+    allowed_domains: tuple[str, ...] = ()
 
     # politeness (per-host token bucket; ratelimit.go:27-33 defaults)
     bucket_capacity: int = 100
@@ -34,6 +42,10 @@ class CrawlConfig:
     max_attempt: int = 10
 
     # scale knobs
+    # frontier state is delta-committed (changed rows only); every K busy
+    # supersteps a full folded base snapshot is rewritten so the delta
+    # chain — and the fold's broadcast "touched keys" set — stays bounded
+    frontier_compact_every: int = 8
     shuffle_partitions: int = 32
     rank_partitions: int = 32          # range partitions for global ranking
     # waves at or below this size rank discoveries with a plain global

@@ -33,6 +33,9 @@ from .extract import extract_text
 
 _EPOCH = dt.datetime(2024, 8, 7, 0, 0, 0)
 
+# bump when generation changes — cache dirs (bench) key on this
+CORPUS_VERSION = 2
+
 _WORDS = (
     "crawl frontier spark shuffle parquet arrow vector batch superstep "
     "politeness budget bloom dedup canonical host depth wave fetch parse "
@@ -102,11 +105,18 @@ def generate_corpus(
         hrefs: list[str] = []
         for _ in range(n_links):
             kind = rng.choices(
-                ["rel", "abs", "shout", "dup", "frag", "invalid", "missing"],
-                weights=[40, 20, 5, 10, 5, 5, 15],
+                ["rel", "abs", "shout", "dup", "frag", "invalid", "missing",
+                 "weird"],
+                weights=[40, 20, 5, 10, 5, 5, 15, 3],
             )[0]
             if kind == "dup" and hrefs:
                 hrefs.append(rng.choice(hrefs))
+                continue
+            if kind == "weird":
+                # RFC-3986-illegal but regex-accepted chars (utils.go:13-20
+                # admits any non-whitespace) — java.net.URI rejects these;
+                # the engine must canonicalize them without parse_url
+                hrefs.append(f"/weird/a|b<{rng.randint(0, 9)}>")
                 continue
             if kind == "frag":
                 hrefs.append("#section-" + str(rng.randint(0, 9)))

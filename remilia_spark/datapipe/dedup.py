@@ -98,22 +98,26 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", k: int = 3,
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard (rounded 6dp)."""
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    The threshold applies to the RAW ratio; only the output column is
+    rounded (6dp) — thresholding a pre-rounded value would keep pairs whose
+    true jaccard sits within 5e-7 below the cut, diverging from any SQL
+    twin that filters ``i/u >= t``.
+    """
     sets = shingles(df, text_col, k).groupBy("doc_id") \
         .agg(F.collect_set("shingle").alias("sh"))
-    j = (
+    raw = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (
         pairs
         .join(sets.select(F.col("doc_id").alias("doc_a"),
                           F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"),
                           F.col("sh").alias("sh_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
+        .where(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
     )
-    return j.where(F.col("jaccard") >= threshold)
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",

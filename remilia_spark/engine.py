@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .config import CrawlConfig
 from .frontier import frontier_head, run_superstep, seed_frontier
@@ -52,7 +53,8 @@ class CrawlRun:
                                         METRICS_SCHEMA)
 
     def frontier(self) -> DataFrame:
-        return self.storage.read_snapshot("frontier", self.last_superstep)
+        """Folded current frontier (rev column is storage-internal)."""
+        return self.storage.read_frontier(self.last_superstep).drop("rev")
 
     def fetch_events(self) -> DataFrame | None:
         """Fetch log in canonical crawl order (the ordering fixture)."""
@@ -60,6 +62,29 @@ class CrawlRun:
         if r is None:
             return None
         return r.orderBy("superstep", "depth", "host_rank", "discovery_order")
+
+
+class _RunLogSink:
+    """Per-run log file — the reference tees zap logs to
+    ``logs/<id>_<ts>.log`` (logger.go:99-116); we tee one JSON line per
+    superstep to ``<state_dir>/logs/run_<ts>.log`` (R5).  No-op when the
+    storage backend has no directory."""
+
+    def __init__(self, state_dir, resume: bool):
+        self.path = None
+        if state_dir is None:
+            return
+        import time as _t
+        logs = Path(state_dir) / "logs"
+        logs.mkdir(parents=True, exist_ok=True)
+        ts = _t.strftime("%Y%m%d_%H%M%S")
+        self.path = logs / f"run_{ts}_{'resume' if resume else 'fresh'}.log"
+
+    def write(self, stats: dict) -> None:
+        if self.path is not None:
+            import json
+            with self.path.open("a") as f:
+                f.write(json.dumps(stats) + "\n")
 
 
 class Engine:
@@ -72,21 +97,36 @@ class Engine:
         pages: DataFrame,
         seeds: DataFrame,
         robots: DataFrame | None,
-        state_dir: str | Path,
+        state_dir: str | Path | None = None,
         resume: bool = False,
         max_supersteps: int | None = None,
         layer_fns=None,
         pre_fetch_hooks=None,
         post_parse_hooks=None,
+        storage=None,
     ) -> CrawlRun:
+        """Run the crawl.  State goes to ``ParquetSnapshotStorage(state_dir)``
+        unless a ``storage`` instance (any impl of the commit/read protocol,
+        e.g. ``InMemorySnapshotStorage``; Iceberg on a cluster) is passed —
+        the backend swap is exactly this constructor change."""
         cfg = self.cfg
-        storage = ParquetSnapshotStorage(self.spark, state_dir)
+        if storage is None:
+            if state_dir is None:
+                raise ValueError("pass state_dir or a storage instance")
+            storage = ParquetSnapshotStorage(self.spark, state_dir)
         last = storage.last_committed() if resume else None
+        log_sink = _RunLogSink(state_dir, resume)
         if last is None:
-            frontier0, seen0 = seed_frontier(self.spark, seeds, robots)
+            # fresh run into a dirty state_dir: wipe it — otherwise stale
+            # higher-numbered manifests from an earlier, longer run would
+            # survive and a later resume=True would silently continue from
+            # a mix of old and new state
+            storage.clear()
+            frontier0, seen0 = seed_frontier(self.spark, seeds, robots, cfg)
             budgets0 = self.spark.createDataFrame([], BUDGETS_SCHEMA)
-            tables = {"frontier": frontier0, "budgets": budgets0,
-                      "seen": seen0}
+            tables = {"frontier": frontier0.withColumn(
+                          "rev", F.lit(0).cast("int")),
+                      "budgets": budgets0, "seen": seen0}
             if cfg.bloom_enabled:
                 from .bloom import empty_bloom, update_bloom
                 tables["bloom"] = update_bloom(
@@ -125,6 +165,7 @@ class Engine:
                     storage.commit(t + 1, {}, extra={"stats": stats},
                                    reuse={k: s for k in reuse_keys})
                     run.stats.append(stats)
+                    log_sink.write(stats)
                 s = next_s
                 run.last_superstep = s
                 continue
@@ -134,6 +175,7 @@ class Engine:
                                   post_parse_hooks=post_parse_hooks,
                                   head=head)
             run.stats.append(stats)
+            log_sink.write(stats)
             s += 1
             run.last_superstep = s
             if stats["pending_after"] == 0:

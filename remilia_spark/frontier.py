@@ -31,10 +31,9 @@ import time
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from . import urlnorm
 from .backoff import backoff_steps_col
@@ -57,12 +56,14 @@ _PARSE_SCHEMA = (
     "host_rank int, links array<string>, text string"
 )
 
-def _parse_batches_factory(layer_fns=None):
+def _parse_batches_factory(layer_fns=None, charset: str = "utf-8"):
     """Build the parse-stage mapInPandas fn.
 
     ``layer_fns[depth]`` is a user extractor ``(html_bytes, url) ->
     (hrefs, value)`` — the reference's ``LayerFunc`` callback
     (``remilia.go:170-176``); None slots fall back to the pinned default.
+    ``charset`` is the reference's optional charset transformer
+    (``client.go:228-233``) applied before parse.
     """
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,7 +74,7 @@ def _parse_batches_factory(layer_fns=None):
                 if layer_fns is not None and 0 <= d < len(layer_fns):
                     fn = layer_fns[d]
                 ls, tx = fn(bytes(h) if h is not None else b"", u) \
-                    if fn is not None else extract(h)
+                    if fn is not None else extract(h, charset)
                 links.append(list(ls))
                 texts.append(tx)
             out = pdf[["url", "url_hash", "depth", "discovery_order",
@@ -85,28 +86,49 @@ def _parse_batches_factory(layer_fns=None):
     return parse
 
 
-@F.pandas_udf(StringType())
-def _canonicalize(href: pd.Series, base: pd.Series) -> pd.Series:
-    return urlnorm.normalize_series(href, base)
+_NORM_SCHEMA = StructType([StructField(c, StringType())
+                           for c in ("url", "host", "path")])
+
+
+@F.pandas_udf(_NORM_SCHEMA)
+def _canonicalize(href: pd.Series, base: pd.Series) -> pd.DataFrame:
+    """Canonical (url, host, path) in ONE Arrow pass — host/path must come
+    from the same urlsplit as the URL (never Spark ``parse_url``: ANSI-mode
+    java.net.URI throws INVALID_URL on chars like ``|``/``<``/``"`` that the
+    reference's accept regex admits, and even try_parse_url would diverge
+    from the Python oracle's hostname on such rows)."""
+    return urlnorm.normalize_parts_frame(href, base)
+
+
+def _insert_state(cfg: CrawlConfig):
+    """State a fresh row enters the frontier with: 'filtered' when robots
+    blocks it or (if an allowlist is configured — the reference's
+    ``AllowedDomain``, limit.go:5-15) its host is off-list."""
+    blocked = F.col("robots_blocked")
+    if cfg.allowed_domains:
+        blocked = blocked | ~F.col("host").isin(*cfg.allowed_domains)
+    return F.when(blocked, F.lit("filtered")).otherwise(F.lit("pending"))
 
 
 def seed_frontier(spark: SparkSession, seeds: DataFrame,
-                  robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+                  robots: DataFrame | None,
+                  cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
     """Canonical seed rows -> (frontier at superstep 0, seen delta 0).
 
     Seeds mirror ``URLProvider`` (``remilia.go:166-168``) generalized to N
-    rows; duplicates collapse to the smallest ``seed_order``; robots applies
-    at insertion like any other row.
+    rows; duplicates collapse to the smallest ``seed_order``; robots and the
+    domain allowlist apply at insertion like any other row.
     """
     c = (
         seeds
-        .withColumn("curl", _canonicalize("url", F.lit(None).cast("string")))
-        .where(F.col("curl").isNotNull())
-        .groupBy("curl").agg(F.min("seed_order").alias("seed_order"))
+        .withColumn("np", _canonicalize("url", F.lit(None).cast("string")))
+        .where(F.col("np.url").isNotNull())
+        .groupBy("np").agg(F.min("seed_order").alias("seed_order"))
         .select(
-            F.col("curl").alias("url"),
-            F.xxhash64("curl").alias("url_hash"),
-            F.coalesce(F.parse_url("curl", F.lit("HOST")), F.lit("")).alias("host"),
+            F.col("np.url").alias("url"),
+            F.xxhash64("np.url").alias("url_hash"),
+            F.coalesce(F.col("np.host"), F.lit("")).alias("host"),
+            F.coalesce(F.col("np.path"), F.lit("/")).alias("path"),
             "seed_order",
         )
     )
@@ -122,8 +144,7 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame,
         F.lit(0).alias("link_index"),
         F.lit(0).alias("attempt"),
         F.lit(0).alias("next_eligible"),
-        F.when(F.col("robots_blocked"), F.lit("filtered"))
-         .otherwise(F.lit("pending")).alias("state"),
+        _insert_state(cfg).alias("state"),
     )
     seen = frontier.select(
         "url_hash", "url", F.lit(0).cast("int").alias("first_seen_superstep"))
@@ -134,7 +155,7 @@ def frontier_head(storage: ParquetSnapshotStorage, s: int) -> dict:
     """One small job over the committed frontier: pending count, the
     histogram of pending ``next_eligible`` values (lets the driver skip
     idle supersteps without any Spark work), and the max discovery order."""
-    frontier = storage.read_snapshot("frontier", s)
+    frontier = storage.read_frontier(s)
     key = F.when(F.col("state") == "pending", F.col("next_eligible")) \
         .otherwise(F.lit(-1))
     rows = frontier.groupBy(key.alias("k")).agg(
@@ -149,12 +170,7 @@ def frontier_head(storage: ParquetSnapshotStorage, s: int) -> dict:
 
 def _read_totals_row(storage: ParquetSnapshotStorage, s: int) -> dict:
     """Driver-local read of the committed metrics totals row (no Spark job)."""
-    man = storage.manifest(s + 1)
-    path = man["tables"]["metrics"]["path"]
-    tbl = pq.read_table(path)
-    pdf = tbl.to_pandas()
-    row = pdf[pdf["partition_id"] == -1].iloc[0]
-    return {k: (int(v) if pd.notna(v) else 0) for k, v in row.items()}
+    return storage.metrics_totals(s + 1)
 
 
 def run_superstep(
@@ -177,7 +193,7 @@ def run_superstep(
     engine loop terminates when ``stats['pending_after'] == 0``.
     """
     t0 = time.monotonic()
-    frontier = storage.read_snapshot("frontier", s)
+    frontier = storage.read_frontier(s)  # folded current rows (+rev)
     budgets = storage.read_snapshot("budgets", s)
 
     is_pending = F.col("state") == "pending"
@@ -224,7 +240,8 @@ def run_superstep(
     # ---- parse (R19) + results --------------------------------------------
     parsed = hits.select(
         "url", "url_hash", "depth", "discovery_order", "host_rank", "html"
-    ).mapInPandas(_parse_batches_factory(layer_fns), _PARSE_SCHEMA)
+    ).mapInPandas(_parse_batches_factory(layer_fns, cfg.charset),
+                  _PARSE_SCHEMA)
     for hook in post_parse_hooks or ():  # R14: response-hook chain
         parsed = hook(parsed)
     parsed = parsed.persist()
@@ -244,17 +261,18 @@ def run_superstep(
     )
     cand = (
         link_rows
-        .withColumn("curl", _canonicalize("href", "parent_url"))
-        .where(F.col("curl").isNotNull())
+        .withColumn("np", _canonicalize("href", "parent_url"))
+        .where(F.col("np.url").isNotNull())
         # in-batch dedup: first discovery wins — min (parent_order,
         # link_index) is total because parent orders are globally unique
-        .groupBy("curl")
+        .groupBy("np")
         .agg(F.min(F.struct("parent_order", "link_index", "parent_depth",
                             "parent_hash")).alias("m"))
         .select(
-            F.col("curl").alias("url"),
-            F.xxhash64("curl").alias("url_hash"),
-            F.coalesce(F.parse_url("curl", F.lit("HOST")), F.lit("")).alias("host"),
+            F.col("np.url").alias("url"),
+            F.xxhash64("np.url").alias("url_hash"),
+            F.coalesce(F.col("np.host"), F.lit("")).alias("host"),
+            F.coalesce(F.col("np.path"), F.lit("/")).alias("path"),
             (F.col("m.parent_depth") + 1).cast("int").alias("depth"),
             F.col("m.parent_order").alias("parent_order"),
             F.col("m.link_index").cast("int").alias("link_index"),
@@ -272,7 +290,7 @@ def run_superstep(
     n_seen = sum(
         storage.manifest(k)["tables"].get("seen", {}).get("rows", 0)
         for k in range(s + 1)
-        if storage._manifest_path(k).exists()
+        if storage.has_manifest(k)
     ) if use_bloom else 0
     bloom_tbl = storage.read_snapshot("bloom", s) if use_bloom else None
     if seen is None:
@@ -307,8 +325,7 @@ def run_superstep(
         "link_index",
         F.lit(0).alias("attempt"),
         F.lit(s + 1).alias("next_eligible"),
-        F.when(F.col("robots_blocked"), F.lit("filtered"))
-         .otherwise(F.lit("pending")).alias("state"),
+        _insert_state(cfg).alias("state"),
     ).persist()
 
     seen_delta = new_rows.select(
@@ -334,14 +351,28 @@ def run_superstep(
         F.when(nxt >= cfg.max_attempt, F.lit("failed"))
          .otherwise(F.lit("pending")).alias("state"),
     )
-    untouched = frontier.join(wave_keyed.select("url_hash", "url"),
-                              ["url_hash", "url"], "left_anti")
-    frontier_next = (
-        untouched.select(*FRONTIER_COLS)
-        .unionByName(fetched_rows.select(*FRONTIER_COLS))
+    # Delta encoding: the frontier commit carries ONLY this superstep's
+    # changed rows (wave transitions + fresh discoveries), tagged rev=s+1.
+    # Rewriting the whole frontier per wave would be O(total URLs) I/O per
+    # superstep — the scale-killer at a 10^10-URL frontier.  Every
+    # ``cfg.frontier_compact_every`` busy steps the folded snapshot is
+    # rewritten as a new base so the delta chain (and the fold's broadcast
+    # touched-keys set) stays bounded.
+    changed = (
+        fetched_rows.select(*FRONTIER_COLS)
         .unionByName(retry_rows.select(*FRONTIER_COLS))
         .unionByName(new_rows.select(*FRONTIER_COLS))
+        .withColumn("rev", F.lit(s + 1).cast("int"))
     )
+    n_deltas = len(storage.manifest(s)["tables"]["frontier"]["deltas"])
+    compact = n_deltas + 1 >= cfg.frontier_compact_every
+    if compact:
+        untouched = frontier.join(wave_keyed.select("url_hash", "url"),
+                                  ["url_hash", "url"], "left_anti")
+        frontier_tbl = untouched.select(*FRONTIER_COLS, "rev") \
+                                .unionByName(changed)
+    else:
+        frontier_tbl = changed
 
     # ---- budgets -----------------------------------------------------------
     grants = wave.groupBy("host", "avail").agg(
@@ -388,7 +419,7 @@ def run_superstep(
     metrics = part_rows.unionByName(totals)
 
     tables = {
-        "frontier": frontier_next,
+        "frontier": frontier_tbl,
         "budgets": budgets_next,
         "seen": seen_delta,
         "results": results,
@@ -401,7 +432,15 @@ def run_superstep(
             bloom_tbl, new_rows.select("url_hash"),
             num_buckets=cfg.bloom_num_buckets,
             n_bits=cfg.bloom_bucket_bits, n_hashes=cfg.bloom_num_hashes)
-    storage.commit(s + 1, tables, extra={"stats_pending": n_pending})
+    # Materialize the shared lineage ONCE before the concurrent table
+    # writes: new_rows.count() fills the parsed/cand/new_rows caches, so
+    # the 5-6 parallel write jobs are cache reads + cheap joins.  Without
+    # it they all race to compute the same uncached partitions — N
+    # simultaneous copies of the Python parse stage, *worse* with more
+    # cores (the round-1 local[8]-slower-than-local[2] anomaly).
+    new_rows.count()
+    storage.commit(s + 1, tables, extra={"stats_pending": n_pending},
+                   delta_frontier=not compact)
 
     tot = _read_totals_row(storage, s)
     man = storage.manifest(s + 1)

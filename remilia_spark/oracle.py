@@ -60,6 +60,8 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
 
     def robots_blocked(url: str) -> bool:
         host = host_of(url)
+        if cfg.allowed_domains and host not in cfg.allowed_domains:
+            return True  # off-allowlist => filtered at insertion
         if host not in rob:
             return False
         p = path_of(url)
@@ -139,7 +141,7 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         for depth, host_rank, order_, u, host in granted:
             row = frontier[u]
             if u in corpus:
-                links, text = extract(corpus[u])
+                links, text = extract(corpus[u], cfg.charset)
                 res.fetch_events.append((s, depth, host_rank, row["order"], u))
                 res.texts[u] = text
                 row["state"] = "fetched"

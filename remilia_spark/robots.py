@@ -24,19 +24,23 @@ def blocked_col(path: Column, disallow: Column) -> Column:
 
 
 def with_robots_state(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Attach ``robots_blocked:boolean`` to candidate rows (needs host, url).
+    """Attach ``robots_blocked:boolean`` to candidate rows.
 
-    Path extraction uses ``parse_url`` (built-in, codegen) — candidates are
-    already canonical so the URL always parses.
+    ``candidates`` must carry (host, path) — both produced by the SAME
+    Python urlsplit that canonicalized the URL (``urlnorm.normalize_parts``).
+    Spark ``parse_url`` is deliberately not used: java.net.URI rejects
+    RFC-3986-illegal-but-regex-accepted characters (``|``, ``<``, ``"``)
+    and would either abort the job (ANSI) or silently diverge from the
+    oracle's hostname/path (try_parse_url).
     """
     if robots is None:
         return candidates.withColumn("robots_blocked", F.lit(False))
-    path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/"))
     return (
         candidates
         # no forced broadcast: robots is per-host and can be ~10^8 rows at
         # full scale — AQE picks broadcast automatically when it is small
         .join(robots.select("host", "disallow"), "host", "left")
-        .withColumn("robots_blocked", blocked_col(path, F.col("disallow")))
+        .withColumn("robots_blocked",
+                    blocked_col(F.col("path"), F.col("disallow")))
         .drop("disallow")
     )

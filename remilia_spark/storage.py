@@ -8,11 +8,25 @@ has no network, so the default impl is a Parquet snapshot store with a
 manifest-commit protocol:
 
 * superstep ``s`` writes ``<root>/<table>/s=<s>/`` for the snapshot tables
-  (``frontier``, ``budgets``) and ``<root>/<table>/delta_s=<s>/`` for the
+  (``budgets``, ``bloom``) and ``<root>/<table>/delta_s=<s>/`` for the
   append-only ones (``seen``, ``results``, ``metrics``);
+* the **frontier** is delta-encoded: a normal superstep commits only the
+  rows whose state changed (fetched / retry / newly discovered), tagged
+  with ``rev`` = the commit index, to ``frontier/delta_s=<s>/``; every
+  ``cfg.frontier_compact_every`` steps a full folded snapshot is written to
+  ``frontier/s=<s>/`` and the delta chain resets.  Rewriting the whole
+  frontier every wave would be O(total-URLs) I/O per superstep — the
+  single biggest scale-killer at a 10^10-URL frontier;
+* ``read_frontier`` folds base ∪ deltas: a row version is stale iff its
+  key reappears at a higher ``rev``, and the only rows that ever supersede
+  an earlier version are wave transitions (state fetched/failed, or a
+  retry with attempt > 0), so the fold is an anti-join against that small
+  "touched since base" set (bounded by the compaction interval — it is
+  broadcast-hinted, never a full shuffle);
 * the commit then atomically renames ``_COMMIT_<s>.json.tmp`` →
   ``_COMMIT_<s>.json`` recording, per table, the files written with their
-  row counts (the per-partition lineage);
+  row counts (the per-partition lineage) — the frontier entry additionally
+  records its ``base`` step and ``deltas`` chain;
 * **state becomes visible only through a manifest** — readers resolve
   ``last_committed()`` as the max manifest present, so an interrupted
   superstep (data files but no manifest) is invisible and recomputed
@@ -33,13 +47,14 @@ from pathlib import Path
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .budget import BUDGETS_SCHEMA  # re-export: state-table schemas live here
 
 __all__ = [
-    "BUDGETS_SCHEMA", "FRONTIER_SCHEMA", "SEEN_SCHEMA", "RESULTS_SCHEMA",
-    "METRICS_SCHEMA", "ParquetSnapshotStorage", "SNAPSHOT_TABLES",
-    "DELTA_TABLES",
+    "BUDGETS_SCHEMA", "FRONTIER_SCHEMA", "FRONTIER_REV_SCHEMA", "SEEN_SCHEMA",
+    "RESULTS_SCHEMA", "METRICS_SCHEMA", "ParquetSnapshotStorage",
+    "SNAPSHOT_TABLES", "DELTA_TABLES",
 ]
 
 SNAPSHOT_TABLES = ("frontier", "budgets", "bloom")
@@ -50,6 +65,8 @@ FRONTIER_SCHEMA = (
     "parent_hash long, link_index int, attempt int, next_eligible int, "
     "state string"
 )
+# on-disk frontier rows carry the commit index they were written at
+FRONTIER_REV_SCHEMA = FRONTIER_SCHEMA + ", rev int"
 SEEN_SCHEMA = "url_hash long, url string, first_seen_superstep int"
 RESULTS_SCHEMA = ("superstep int, url string, depth int, host_rank int, "
                   "discovery_order long, text string")
@@ -58,6 +75,31 @@ METRICS_SCHEMA = (
     "deduped long, robots_blocked long, budget_deferred long, wall_ms long, "
     "retry_pending long, failed_terminal long"
 )
+
+
+def fold_frontier(df: DataFrame, base: int, has_deltas: bool) -> DataFrame:
+    """Fold frontier rows (base ∪ deltas, FRONTIER_REV_SCHEMA) to the
+    current version per key.  A row version is stale iff its key reappears
+    at a higher ``rev``; only wave transitions supersede (fetched/failed,
+    or a retry with attempt > 0), so the stale-key set is those delta rows
+    — bounded by the compaction interval, hence broadcast-hinted.
+    Deterministic: (key, rev) pairs are unique, so there are no ties."""
+    if not has_deltas:
+        return df
+    touched = (
+        df.where((F.col("rev") > base)
+                 & (F.col("state").isin("fetched", "failed")
+                    | (F.col("attempt") > 0)))
+        .select("url_hash", "url", F.col("rev").alias("t_rev"))
+    )
+    a, t = df.alias("a"), F.broadcast(touched).alias("t")
+    return a.join(
+        t,
+        (F.col("a.url_hash") == F.col("t.url_hash"))
+        & (F.col("a.url") == F.col("t.url"))
+        & (F.col("t.t_rev") > F.col("a.rev")),
+        "left_anti",
+    )
 
 
 class ParquetSnapshotStorage:
@@ -71,6 +113,19 @@ class ParquetSnapshotStorage:
     def _manifest_path(self, s: int) -> Path:
         return self.root / f"_COMMIT_{s:06d}.json"
 
+    def clear(self) -> None:
+        """Remove every manifest and table directory (fresh-run reset).
+
+        Manifests go first: if the wipe is interrupted, readers (which only
+        ever resolve state through manifests) see an empty store rather
+        than a half-deleted one.
+        """
+        import shutil
+        for p in sorted(self.root.glob("_COMMIT_*.json")):
+            p.unlink()
+        for table in (*SNAPSHOT_TABLES, *DELTA_TABLES):
+            shutil.rmtree(self.root / table, ignore_errors=True)
+
     def last_committed(self) -> int | None:
         steps = [
             int(p.name[len("_COMMIT_"):-len(".json")])
@@ -78,13 +133,17 @@ class ParquetSnapshotStorage:
         ]
         return max(steps) if steps else None
 
+    def has_manifest(self, s: int) -> bool:
+        return self._manifest_path(s).exists()
+
     def _table_dir(self, table: str, s: int) -> Path:
         prefix = "delta_s" if table in DELTA_TABLES else "s"
         return self.root / table / f"{prefix}={s:06d}"
 
     def commit(self, s: int, tables: dict[str, DataFrame],
                extra: dict | None = None,
-               reuse: dict[str, int] | None = None) -> dict:
+               reuse: dict[str, int] | None = None,
+               delta_frontier: bool = False) -> dict:
         """Write ``tables`` for superstep ``s`` and publish the manifest.
 
         Lineage: for every written parquet file, its row count (read back
@@ -92,6 +151,11 @@ class ParquetSnapshotStorage:
         snapshot table name to an earlier superstep whose data directory is
         carried forward unchanged (manifest points at the old path — no
         rewrite for idle supersteps / unchanged budgets).
+
+        ``delta_frontier``: the ``frontier`` entry in ``tables`` holds only
+        this superstep's changed rows (must carry ``rev``); the manifest
+        chains it onto the previous commit's base.  Otherwise the frontier
+        entry is a full folded snapshot and becomes the new base.
         """
         lineage: dict[str, dict] = {}
         for name, prev in (reuse or {}).items():
@@ -99,7 +163,10 @@ class ParquetSnapshotStorage:
 
         def write_one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
             name, df = item
-            path = self._table_dir(name, s)
+            if name == "frontier" and delta_frontier:
+                path = self.root / "frontier" / f"delta_s={s:06d}"
+            else:
+                path = self._table_dir(name, s)
             df.write.mode("overwrite").parquet(str(path))
             files = sorted(str(f) for f in path.glob("*.parquet"))
             parts = {
@@ -119,6 +186,14 @@ class ParquetSnapshotStorage:
             for item in tables.items():
                 name, entry = write_one(item)
                 lineage[name] = entry
+        if "frontier" in tables:
+            if delta_frontier:
+                prev = self.manifest(s - 1)["tables"]["frontier"]
+                lineage["frontier"]["base"] = prev["base"]
+                lineage["frontier"]["deltas"] = [*prev["deltas"], s]
+            else:
+                lineage["frontier"]["base"] = s
+                lineage["frontier"]["deltas"] = []
         manifest = {
             "superstep": s,
             "committed_at": time.time(),
@@ -141,6 +216,25 @@ class ParquetSnapshotStorage:
         path = self.manifest(s)["tables"][table]["path"]
         return self.spark.read.parquet(path)
 
+    def read_frontier(self, s: int) -> DataFrame:
+        """Current frontier as of committed superstep ``s``: fold the base
+        snapshot and the delta chain the manifest records.
+
+        A row version is stale iff its (url_hash, url) reappears at a
+        higher ``rev``; only wave transitions ever supersede (a fetched /
+        failed row, or a retry re-entry with attempt > 0), so the stale-key
+        set is exactly those rows of the deltas — bounded by the compaction
+        interval, hence broadcast-hinted.  Deterministic: (key, rev) pairs
+        are unique by construction, so the fold has no ties.
+        """
+        ent = self.manifest(s)["tables"]["frontier"]
+        base, deltas = ent["base"], ent["deltas"]
+        paths = [str(self.root / "frontier" / f"s={base:06d}")]
+        paths += [str(self.root / "frontier" / f"delta_s={k:06d}")
+                  for k in deltas]
+        df = self.spark.read.schema(FRONTIER_REV_SCHEMA).parquet(*paths)
+        return fold_frontier(df, base, bool(deltas))
+
     def read_deltas(self, table: str, up_to: int,
                     schema: str | None = None) -> DataFrame | None:
         paths = [
@@ -153,3 +247,101 @@ class ParquetSnapshotStorage:
             return None
         return self.spark.read.schema(schema).parquet(*paths) if schema \
             else self.spark.read.parquet(*paths)
+
+    def metrics_totals(self, s: int) -> dict:
+        """The partition_id = -1 totals row of superstep ``s``'s metrics —
+        a driver-local parquet-footer read, no Spark job."""
+        import pandas as pd
+        path = self.manifest(s)["tables"]["metrics"]["path"]
+        pdf = pq.read_table(path).to_pandas()
+        row = pdf[pdf["partition_id"] == -1].iloc[0]
+        return {k: (int(v) if pd.notna(v) else 0) for k, v in row.items()}
+
+
+class InMemorySnapshotStorage:
+    """Second ``FrontierStorage`` impl — same commit/read protocol, state
+    held as collected rows in driver memory (no filesystem).
+
+    Exists to make "swapping the backend is a constructor change" a tested
+    claim rather than a comment (on a cluster the third impl is Iceberg:
+    snapshot-per-superstep + MERGE, see SCALE.md).  Collecting pins each
+    commit's rows eagerly, which doubles as the determinism barrier the
+    parquet impl gets from writing files.  Test-scale only by design.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._manifests: dict[int, dict] = {}
+        self._data: dict[tuple[str, int], tuple] = {}  # (table, s) -> rows
+
+    def clear(self) -> None:
+        self._manifests.clear()
+        self._data.clear()
+
+    def last_committed(self) -> int | None:
+        return max(self._manifests) if self._manifests else None
+
+    def has_manifest(self, s: int) -> bool:
+        return s in self._manifests
+
+    def manifest(self, s: int) -> dict:
+        return self._manifests[s]
+
+    def commit(self, s: int, tables: dict[str, DataFrame],
+               extra: dict | None = None,
+               reuse: dict[str, int] | None = None,
+               delta_frontier: bool = False) -> dict:
+        lineage: dict[str, dict] = {}
+        for name, prev in (reuse or {}).items():
+            lineage[name] = self._manifests[prev]["tables"][name]
+        for name, df in tables.items():
+            rows = df.collect()
+            self._data[(name, s)] = (df.schema, rows)
+            lineage[name] = {"path": f"mem://{name}/{s}", "step": s,
+                             "files": {f"mem-{s}": len(rows)},
+                             "rows": len(rows)}
+        if "frontier" in tables:
+            if delta_frontier:
+                prev_f = self._manifests[s - 1]["tables"]["frontier"]
+                lineage["frontier"]["base"] = prev_f["base"]
+                lineage["frontier"]["deltas"] = [*prev_f["deltas"], s]
+            else:
+                lineage["frontier"]["base"] = s
+                lineage["frontier"]["deltas"] = []
+        manifest = {"superstep": s, "committed_at": time.time(),
+                    "tables": lineage, **(extra or {})}
+        self._manifests[s] = manifest
+        return manifest
+
+    def _df(self, table: str, s: int) -> DataFrame:
+        schema, rows = self._data[(table, s)]
+        return self.spark.createDataFrame(rows, schema)
+
+    def read_snapshot(self, table: str, s: int) -> DataFrame:
+        ent = self._manifests[s]["tables"][table]
+        return self._df(table, ent["step"])  # possibly a reused older step
+
+    def read_frontier(self, s: int) -> DataFrame:
+        ent = self._manifests[s]["tables"]["frontier"]
+        base, deltas = ent["base"], ent["deltas"]
+        df = self._df("frontier", base)
+        for k in deltas:
+            df = df.unionByName(self._df("frontier", k))
+        return fold_frontier(df, base, bool(deltas))
+
+    def read_deltas(self, table: str, up_to: int,
+                    schema: str | None = None) -> DataFrame | None:
+        steps = [k for k in range(up_to + 1)
+                 if k in self._manifests and (table, k) in self._data]
+        if not steps:
+            return None
+        df = self._df(table, steps[0])
+        for k in steps[1:]:
+            df = df.unionByName(self._df(table, k))
+        return df
+
+    def metrics_totals(self, s: int) -> dict:
+        _, rows = self._data[("metrics", s)]
+        row = next(r for r in rows if r["partition_id"] == -1)
+        return {k: (int(v) if v is not None else 0)
+                for k, v in row.asDict().items()}

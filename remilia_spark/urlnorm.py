@@ -54,12 +54,20 @@ def _upper_pct(s: str) -> str:
     return _PCT_RE.sub(lambda m: m.group(0).upper(), s) if "%" in s else s
 
 
-def normalize_url(href: str, base: str | None = None) -> str | None:
-    """Resolve ``href`` against ``base`` and canonicalize; None if rejected.
+def normalize_parts(href: str, base: str | None = None) \
+        -> tuple[str, str, str] | None:
+    """Resolve ``href`` against ``base``; return (url, host, path) or None.
 
     Deterministic and total: equal (href, base) inputs always produce equal
     outputs, which is what makes the URL-seen set and crawl ordering
     reproducible across partitions, resumes, and parallelism levels.
+
+    Host and path come out of the *same* urlsplit that canonicalized the
+    URL — never from Spark ``parse_url``, whose java.net.URI parser rejects
+    RFC-3986-illegal-but-non-whitespace characters (``|``, ``<``, ``"``)
+    that the reference's accept regex (utils.go:13-20) lets through; under
+    Spark 4 ANSI mode that would abort the whole superstep job on one bad
+    href.
     """
     if href is None:
         return None
@@ -92,7 +100,13 @@ def normalize_url(href: str, base: str | None = None) -> str | None:
     path = _upper_pct(parts.path) or "/"
     query = _upper_pct(parts.query)
     out = urlunsplit((scheme, netloc, path, query, ""))
-    return out if _URL_RE.match(out) else None
+    return (out, host, path) if _URL_RE.match(out) else None
+
+
+def normalize_url(href: str, base: str | None = None) -> str | None:
+    """Canonical URL only (see ``normalize_parts``); None if rejected."""
+    p = normalize_parts(href, base)
+    return p[0] if p is not None else None
 
 
 def host_of(url: str) -> str:
@@ -121,6 +135,22 @@ def normalize_series(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
         [normalize_url(h, b) for h, b in zip(hrefs, bases)],
         index=hrefs.index, dtype=object,
     )
+
+
+def normalize_parts_frame(hrefs: pd.Series, bases: pd.Series) -> pd.DataFrame:
+    """Vectorized (url, host, path) canonicalization (struct-UDF body).
+
+    Rejected hrefs yield an all-null row; callers filter on url IS NOT NULL.
+    """
+    urls, hosts, paths = [], [], []
+    for h, b in zip(hrefs, bases):
+        p = normalize_parts(h, b)
+        if p is None:
+            urls.append(None); hosts.append(None); paths.append(None)
+        else:
+            urls.append(p[0]); hosts.append(p[1]); paths.append(p[2])
+    return pd.DataFrame({"url": urls, "host": hosts, "path": paths},
+                        index=hrefs.index)
 
 
 def host_series(urls: pd.Series) -> pd.Series:

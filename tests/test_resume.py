@@ -50,6 +50,27 @@ def test_resume_after_kill(spark, tiny_corpus, tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_fresh_run_wipes_stale_state(spark, tiny_corpus, tmp_path):
+    """resume=False into a dirty state_dir must not leave stale manifests:
+    a longer earlier run's higher-numbered commits would otherwise survive
+    and a later resume=True would continue from mixed old/new state."""
+    c, corpus_dir = tiny_corpus
+    pages, seeds, robots = _load(spark, corpus_dir)
+    eng = Engine(spark, CFG)
+    full = eng.run(pages, seeds, robots, tmp_path / "ref")
+    want_events = _events(full)
+
+    st = tmp_path / "st"
+    long_run = eng.run(pages, seeds, robots, st)          # completes
+    assert long_run.last_superstep > 2
+    eng.run(pages, seeds, robots, st, max_supersteps=2)   # fresh, shorter
+    stg = Engine(spark, CFG).run(pages, seeds, robots, st,
+                                 resume=True)             # continue run 2
+    assert _events(stg) == want_events
+    urls = [u for _, u in _events(stg)]
+    assert len(urls) == len(set(urls))
+
+
 def test_resume_is_noop_after_completion(spark, tiny_corpus, tmp_path):
     c, corpus_dir = tiny_corpus
     pages, seeds, robots = _load(spark, corpus_dir)
