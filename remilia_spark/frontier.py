@@ -168,9 +168,6 @@ def frontier_head(storage: ParquetSnapshotStorage, s: int) -> dict:
             "max_order": max_order}
 
 
-def _read_totals_row(storage: ParquetSnapshotStorage, s: int) -> dict:
-    """Driver-local read of the committed metrics totals row (no Spark job)."""
-    return storage.metrics_totals(s + 1)
 
 
 def run_superstep(
@@ -217,6 +214,7 @@ def run_superstep(
         return stats
 
     # ---- budget grant + priority pop (R10) --------------------------------
+    t_plan = time.monotonic()
     eligible = frontier.where(is_eligible)
     avail = available_tokens(eligible.select("host").distinct(), budgets,
                              robots, cfg, s)
@@ -225,16 +223,19 @@ def run_superstep(
     if cfg.wave_size is not None:
         granted = granted.orderBy("depth", "host_rank", "discovery_order") \
                          .limit(cfg.wave_size)
+    # No wave.count() driver action: the exact wave size comes back with
+    # the committed metrics (wave histogram rows); decisions that need a
+    # size NOW use n_eligible, a deterministic upper bound (wave ⊆
+    # eligible).  The wave cache is materialized by new_rows.count().
     wave = granted.persist()
-    n_wave = wave.count()
-    budget_deferred = n_eligible - n_wave
+    t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
     wave_keyed = wave.select(*FRONTIER_COLS, "host_rank", "avail")
     for hook in pre_fetch_hooks or ():  # R13: request-hook chain
         wave_keyed = hook(wave_keyed)
-    wave_join = F.broadcast(wave_keyed) if n_wave <= cfg.broadcast_wave_max \
-        else wave_keyed
+    wave_join = F.broadcast(wave_keyed) \
+        if n_eligible <= cfg.broadcast_wave_max else wave_keyed
     hits = pages.select("url", "html").join(wave_join, "url", "inner")
 
     # ---- parse (R19) + results --------------------------------------------
@@ -310,7 +311,7 @@ def run_superstep(
                           ["url_hash", "url"], "left_anti")
     fresh = with_robots_state(fresh, robots)
     rank_keys = ["parent_order", "link_index", "url_hash"]
-    if n_wave <= cfg.rank_small_wave:
+    if n_eligible <= cfg.rank_small_wave:  # upper bound on the wave size
         w = Window.orderBy(*rank_keys)
         fresh = fresh.withColumn(
             "discovery_order",
@@ -399,16 +400,44 @@ def run_superstep(
     retry_agg = retry_rows.agg(
         F.sum((F.col("state") == "pending").cast("long")).alias("_retry"),
         F.sum((F.col("state") == "failed").cast("long")).alias("_failed"))
+    wave_agg = wave.agg(F.count(F.lit(1)).alias("_wave"))
+    # next_eligible histograms piggybacked as metrics rows so the engine
+    # can derive the NEXT superstep's head (pending histogram + max order)
+    # driver-side — no frontier_head Spark job between busy supersteps.
+    # Encoding: partition_id = -1000 - ne for wave rows leaving pending,
+    # -2000 - ne for retry rows re-entering it.
+    hist_wave = wave.groupBy("next_eligible").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        F.lit(s).cast("int").alias("superstep"),
+        (F.lit(-1000) - F.col("next_eligible")).cast("int")
+         .alias("partition_id"),
+        F.col("n").cast("long").alias("rows_in"),
+        *[F.lit(None).cast("long").alias(c) for c in
+          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
+           "wall_ms", "retry_pending", "failed_terminal")],
+    )
+    hist_retry = retry_rows.where(F.col("state") == "pending") \
+        .groupBy("next_eligible").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(s).cast("int").alias("superstep"),
+        (F.lit(-2000) - F.col("next_eligible")).cast("int")
+         .alias("partition_id"),
+        F.col("n").cast("long").alias("rows_in"),
+        *[F.lit(None).cast("long").alias(c) for c in
+          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
+           "wall_ms", "retry_pending", "failed_terminal")],
+    )
     totals = (
-        cand_agg.crossJoin(new_agg).crossJoin(retry_agg).select(
+        cand_agg.crossJoin(new_agg).crossJoin(retry_agg).crossJoin(wave_agg)
+        .select(
             F.lit(s).cast("int").alias("superstep"),
             F.lit(-1).alias("partition_id"),
-            F.lit(n_wave).cast("long").alias("rows_in"),
+            F.col("_wave").cast("long").alias("rows_in"),
             F.col("_emitted").cast("long").alias("rows_emitted"),
             (F.col("_emitted") - F.col("_new")).cast("long").alias("deduped"),
             F.coalesce(F.col("_blocked"), F.lit(0)).cast("long")
              .alias("robots_blocked"),
-            F.lit(budget_deferred).cast("long").alias("budget_deferred"),
+            (F.lit(n_eligible) - F.col("_wave")).cast("long")
+             .alias("budget_deferred"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),
             F.coalesce(F.col("_retry"), F.lit(0)).cast("long")
              .alias("retry_pending"),
@@ -416,7 +445,8 @@ def run_superstep(
              .alias("failed_terminal"),
         )
     )
-    metrics = part_rows.unionByName(totals)
+    metrics = part_rows.unionByName(totals) \
+        .unionByName(hist_wave).unionByName(hist_retry)
 
     tables = {
         "frontier": frontier_tbl,
@@ -439,24 +469,49 @@ def run_superstep(
     # simultaneous copies of the Python parse stage, *worse* with more
     # cores (the round-1 local[8]-slower-than-local[2] anomaly).
     new_rows.count()
+    t_mat = time.monotonic()
     storage.commit(s + 1, tables, extra={"stats_pending": n_pending},
                    delta_frontier=not compact)
+    t_commit = time.monotonic()
 
-    tot = _read_totals_row(storage, s)
+    summ = storage.metrics_summary(s + 1)  # driver-local, no Spark job
+    tot = summ["totals"]
     man = storage.manifest(s + 1)
     n_fetched = man["tables"]["results"]["rows"]
     n_new = man["tables"]["seen"]["rows"]
+    n_wave = tot["rows_in"]
+    budget_deferred = n_eligible - n_wave
+    # Derive the NEXT superstep's head from the committed histograms — the
+    # engine loop pays zero frontier_head jobs between busy supersteps.
+    hist_next = dict(head["hist"])
+    for ne, n in summ["wave_hist"].items():       # granted rows left pending
+        left = hist_next.get(ne, 0) - n
+        if left > 0:
+            hist_next[ne] = left
+        else:
+            hist_next.pop(ne, None)
+    for ne, n in summ["retry_hist"].items():      # retries re-enter pending
+        hist_next[ne] = hist_next.get(ne, 0) + n
+    new_pending = n_new - tot["robots_blocked"]
+    if new_pending > 0:
+        hist_next[s + 1] = hist_next.get(s + 1, 0) + new_pending
+    head_next = {"pending": sum(hist_next.values()), "hist": hist_next,
+                 "max_order": max_order + n_new}
     stats = {
+        "head_next": head_next,
         "superstep": s, "pending": n_pending, "eligible": n_eligible,
         "wave": n_wave, "fetched": n_fetched,
         "failed_or_retry": n_wave - n_fetched,
         "discovered": n_new,
+        # phase walls (seconds): grant+pop job / discovery materialization
+        # (parse, canonicalize, dedup, rank) / the commit's table writes
+        "t_wave": round(t_wave - t_plan, 2),
+        "t_mat": round(t_mat - t_wave, 2),
+        "t_commit": round(t_commit - t_mat, 2),
         "deduped": tot["deduped"], "robots_blocked": tot["robots_blocked"],
         "budget_deferred": budget_deferred, "wall_ms": tot["wall_ms"],
-        "pending_after": (
-            (n_pending - n_wave) + tot["retry_pending"]
-            + (n_new - tot["robots_blocked"])
-        ),
+        # by construction equals (pending - wave) + retries + new_pending
+        "pending_after": head_next["pending"],
     }
     for df in (wave, parsed, cand, new_rows, *rank_cleanup):
         df.unpersist()

@@ -77,6 +77,22 @@ METRICS_SCHEMA = (
 )
 
 
+def _summarize_metrics(rows, as_int) -> dict:
+    """Shared metrics decoding: the -1 totals row plus the histogram rows
+    (partition_id -1000-ne = wave rows leaving pending, -2000-ne = retry
+    rows re-entering it)."""
+    out = {"totals": None, "wave_hist": {}, "retry_hist": {}}
+    for r in rows:
+        pid = int(r["partition_id"])
+        if pid == -1:
+            out["totals"] = {k: as_int(v) for k, v in r.items()}
+        elif -2000 < pid <= -1000:
+            out["wave_hist"][-1000 - pid] = as_int(r["rows_in"])
+        elif pid <= -2000:
+            out["retry_hist"][-2000 - pid] = as_int(r["rows_in"])
+    return out
+
+
 def fold_frontier(df: DataFrame, base: int, has_deltas: bool) -> DataFrame:
     """Fold frontier rows (base ∪ deltas, FRONTIER_REV_SCHEMA) to the
     current version per key.  A row version is stale iff its key reappears
@@ -248,14 +264,17 @@ class ParquetSnapshotStorage:
         return self.spark.read.schema(schema).parquet(*paths) if schema \
             else self.spark.read.parquet(*paths)
 
-    def metrics_totals(self, s: int) -> dict:
-        """The partition_id = -1 totals row of superstep ``s``'s metrics —
-        a driver-local parquet-footer read, no Spark job."""
+    def metrics_summary(self, s: int) -> dict:
+        """Totals + next_eligible histograms from superstep ``s``'s metrics
+        — a driver-local parquet read, no Spark job.  Returns
+        {"totals": {...}, "wave_hist": {ne: n}, "retry_hist": {ne: n}}
+        (hist rows are encoded as partition_id = -1000-ne / -2000-ne)."""
         import pandas as pd
         path = self.manifest(s)["tables"]["metrics"]["path"]
         pdf = pq.read_table(path).to_pandas()
-        row = pdf[pdf["partition_id"] == -1].iloc[0]
-        return {k: (int(v) if pd.notna(v) else 0) for k, v in row.items()}
+        return _summarize_metrics(
+            pdf.to_dict("records"),
+            lambda v: int(v) if pd.notna(v) else 0)
 
 
 class InMemorySnapshotStorage:
@@ -340,8 +359,8 @@ class InMemorySnapshotStorage:
             df = df.unionByName(self._df(table, k))
         return df
 
-    def metrics_totals(self, s: int) -> dict:
+    def metrics_summary(self, s: int) -> dict:
         _, rows = self._data[("metrics", s)]
-        row = next(r for r in rows if r["partition_id"] == -1)
-        return {k: (int(v) if v is not None else 0)
-                for k, v in row.asDict().items()}
+        return _summarize_metrics(
+            [r.asDict() for r in rows],
+            lambda v: int(v) if v is not None else 0)
