@@ -8,9 +8,10 @@ corpus derived deterministically from ``documents``) at sf0.001.
 ``oracle_sql()`` gives the DuckDB twin.  Column names and types are aligned
 on both sides (aggregates aliased identically; ints cast to BIGINT).
 
-Non-SQL-expressible entries (iterative crawl, LSH with numpy hyperplanes,
-pandas-UDF canonicalization) intentionally have no oracle_sql — the driver
-records a weaker rows-only check for them.
+Every queries() entry has an oracle_sql twin — including the iterative
+flagship crawl (unrolled into recursive CTEs) and the embedding-LSH pair
+(the deterministic hyperplane tensor dumps as a literal table, so the
+sign/bucket/candidate/verify chain is plain SQL).
 """
 
 from __future__ import annotations
@@ -335,9 +336,14 @@ def q_embed_cosine_topk(spark, sf):
                       F.col("rank").cast("long").alias("nn_rank"))
 
 
-# rows-only (no SQL oracle): numpy LSH + the iterative crawl itself.
-# Recall of the LSH path vs the exact cosine_topk oracle is gated by
-# tests/test_ann_recall.py (>= 0.9 @ k=5 on the driver tables).
+# The hyperplane tensor is deterministic from (dim, planes, tables, seed)
+# — RandomState(seed).standard_normal — so the whole LSH chain has an
+# exact DuckDB twin: the tensor dumps as a literal table, signatures are a
+# sign/bit-weight aggregation, then the same candidate/verify SQL as
+# embed_cosine_topk.  Scores are compared at double precision inside both
+# engines and rounded OUT of the result (the cosine_topk precedent) so the
+# value hash matches bit-for-bit on id/rank columns.  Recall of the LSH
+# path vs exact cosine_topk is additionally gated by tests/test_ann_recall.
 def q_embed_ann_lsh(spark, sf):
     emb = _read(spark, sf, "embeddings")
     first = emb.select("embedding").first()
@@ -346,7 +352,7 @@ def q_embed_ann_lsh(spark, sf):
                               dim=dim, k=5, planes=None, tables=8,
                               n_corpus=emb.count())
     return out.select("query_id", "neighbor_id",
-                      F.col("rank").cast("long").alias("nn_rank"), "cos")
+                      F.col("rank").cast("long").alias("nn_rank"))
 
 
 def q_embed_near_dup(spark, sf):
@@ -354,13 +360,83 @@ def q_embed_near_dup(spark, sf):
     dim = len(emb.select("embedding").first()["embedding"])
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.48 at
     # dim 64), so "near-dup" here means the top of that distribution
-    return similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
-                                                planes=None, tables=8,
-                                                n_corpus=emb.count())
+    out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
+                                               planes=None, tables=8,
+                                               n_corpus=emb.count())
+    return out.select("vec_a", "vec_b")
 
 
 def q_crawl_flagship(spark, sf):
     return flagship_crawl(spark, sf)
+
+
+# Embedding-LSH oracle: the driver's correctness gate (sf0.01) and the
+# local mirror test (sf0.001) both carry 500 vectors at dim 64, so
+# auto_planes picks the same plane count the Spark queries use; the
+# literal tensor below is byte-for-byte the one the signature UDF builds
+# (same RandomState stream, float64 repr round-trips exactly).
+_ANN_N, _ANN_DIM, _ANN_TABLES, _ANN_SEED = 500, 64, 8, 42
+
+
+def _lsh_sig_sql() -> str:
+    """WITH-clause prefix computing (vec_id, tbl, sig) per hash table —
+    the SQL twin of similarity.lsh_signatures."""
+    import numpy as np
+
+    planes = similarity.auto_planes(_ANN_N)
+    rng = np.random.RandomState(_ANN_SEED)
+    P = rng.standard_normal((_ANN_DIM, _ANN_TABLES * planes))
+    vals = ", ".join(
+        f"({j}, {c}, {float(P[j, c])!r})"
+        for j in range(_ANN_DIM) for c in range(_ANN_TABLES * planes))
+    return f"""
+        planes(j, c, w) AS (SELECT * FROM (VALUES {vals})),
+        dots AS (
+          SELECT e.vec_id, p.c,
+                 SUM(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w) AS dot
+          FROM embeddings e, planes p
+          GROUP BY e.vec_id, p.c),
+        sigs AS (
+          SELECT vec_id, c // {planes} AS tbl,
+                 SUM(CASE WHEN dot > 0 THEN 1 << (c % {planes})
+                     ELSE 0 END) AS sig
+          FROM dots GROUP BY vec_id, c // {planes})"""
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+        WITH {_lsh_sig_sql()},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sigs c JOIN sigs q ON c.tbl = q.tbl AND c.sig = q.sig
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, nn_rank FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(ce.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[])) DESC,
+                            cand.neighbor_id) AS nn_rank
+          FROM cand
+          JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+          JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        WHERE nn_rank <= 5"""
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+        WITH {_lsh_sig_sql()},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+          WHERE a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        JOIN embeddings eb ON eb.vec_id = cand.vec_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= 0.3"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -666,4 +742,6 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
             WHERE nn_rank <= 5
         """,
+        "embed_ann_lsh": _ann_lsh_oracle(),
+        "embed_near_dup": _near_dup_oracle(),
     }

@@ -84,16 +84,23 @@ def build_spark(cpus: int):
     # joins. Round 1 measured AQE as a 2x cost, but that predated the
     # frontier delta commits + pre-write cache materialization.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
-    return (
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, cpus))))
+    maxpart = os.environ.get("SPARK_GRAFT_MAXPART", "134217728")
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"remilia-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.shuffle.partitions", str(shuf))
+        .config("spark.sql.files.maxPartitionBytes", maxpart)
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evlog:
+        b = b.config("spark.eventLog.enabled", "true") \
+             .config("spark.eventLog.dir", evlog)
+    return b.getOrCreate()
 
 
 def bench_crawl(spark, cdir: Path) -> dict:
@@ -113,6 +120,9 @@ def bench_crawl(spark, cdir: Path) -> dict:
     t0 = time.monotonic()
     run = Engine(spark, cfg).run(pages, seeds, robots, state)
     dt = time.monotonic() - t0
+    if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+        for s in run.stats:
+            print(json.dumps(s, default=str), file=sys.stderr)
     processed = sum(s.get("wave", 0) for s in run.stats)
     fetched = sum(s.get("fetched", 0) for s in run.stats)
     # determinism fingerprint: the full fetch log in canonical order must be
@@ -127,8 +137,21 @@ def bench_crawl(spark, cdir: Path) -> dict:
              .alias("oh")).collect()[0]["oh"]
     )
     shutil.rmtree(state, ignore_errors=True)
+    # per-phase attribution (VERDICT r2 #1): the superstep records its
+    # grant/materialize/commit walls — aggregate them so the scaling bench
+    # can say WHICH phase fails to scale instead of re-measuring the total
+    busy = [s for s in run.stats if not s.get("idle")]
+    phases = {
+        "t_wave": round(sum(s.get("t_wave", 0.0) for s in busy), 2),
+        "t_mat": round(sum(s.get("t_mat", 0.0) for s in busy), 2),
+        "t_commit": round(sum(s.get("t_commit", 0.0) for s in busy), 2),
+    }
+    # everything the phase walls don't cover: seed commit, frontier_head,
+    # driver plan building, manifest I/O, idle/fast-forward commits
+    phases["t_other"] = round(dt - sum(phases.values()), 2)
     return {"sec": dt, "urls_processed": processed, "fetched": fetched,
-            "supersteps": len(run.stats), "order_hash": order_hash,
+            "supersteps": len(run.stats), "busy_supersteps": len(busy),
+            "order_hash": order_hash, "phases": phases,
             "urls_per_sec": processed / dt if dt > 0 else 0.0}
 
 
@@ -220,6 +243,8 @@ def main() -> None:
         "crawl_urls_processed": crawl["urls_processed"],
         "crawl_fetched": crawl["fetched"],
         "crawl_supersteps": crawl["supersteps"],
+        "crawl_busy_supersteps": crawl["busy_supersteps"],
+        "crawl_phases": crawl["phases"],
         "crawl_order_hash": crawl["order_hash"],
     }
     print(json.dumps(out))

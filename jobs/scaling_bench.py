@@ -113,13 +113,14 @@ def main() -> int:
     def drift(pl, ph):
         return abs(ph - pl) / max(1e-9, min(pl, ph))
 
-    p_lo = quick_probe()
+    # warm-up pass: both JVM levels touch the corpus once so no timed run
+    # pays a cold page cache (round-2's first pair measured exactly that —
+    # a fake 0.94 efficiency from low-cold vs high-warm)
     low = run_bench(N_LOW)          # full query table, once per level
-    p_hi = quick_probe()
     high = run_bench(N_HIGH)
-    pairs = [(low["value"], high["value"], p_lo, p_hi)]
+    pairs = []                      # (lo_parsed, hi_parsed, p_lo, p_hi)
     hashes = {low["crawl_order_hash"], high["crawl_order_hash"]}
-    for _ in range(rounds - 1):
+    for _ in range(rounds):
         if sum(1 for p in pairs if drift(p[2], p[3]) <= max_drift) \
                 >= want_admissible:
             break  # enough quiet-host pairs collected
@@ -127,27 +128,42 @@ def main() -> int:
         lo = run_bench(N_LOW, crawl_only=True)
         p_hi = quick_probe()
         hi = run_bench(N_HIGH, crawl_only=True)
-        pairs.append((lo["value"], hi["value"], p_lo, p_hi))
+        pairs.append((lo, hi, p_lo, p_hi))
         hashes |= {lo["crawl_order_hash"], hi["crawl_order_hash"]}
 
     admissible = [p for p in pairs if drift(p[2], p[3]) <= max_drift]
     used = admissible if admissible else pairs
-    def median(xs):
-        xs = sorted(xs)
-        return xs[len(xs) // 2] if len(xs) % 2 else \
-            (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
-
-    eff = median([(hi / lo) / (N_HIGH / N_LOW) for lo, hi, *_ in used])
+    def pair_eff(p):
+        return (p[1]["value"] / p[0]["value"]) / (N_HIGH / N_LOW)
+    # the round that REALIZES the median efficiency (lower middle) — every
+    # headline number below comes from this one coherent round, so
+    # URLs/sec x seconds x URLs-processed are mutually consistent
+    used_sorted = sorted(used, key=pair_eff)
+    med = used_sorted[(len(used_sorted) - 1) // 2]
+    eff = pair_eff(med)
     # secondary, capacity-normalized metric: divide each run's throughput
     # by the ambient capacity its bracketing probe saw, then take the
     # ratio.  This corrects multiplicative tenancy slowdowns the raw
     # number conflates with engine scaling; reported alongside, never
     # in place of, the raw efficiency.
-    eff_norm = median([((hi / ph) / (lo / pl)) / (N_HIGH / N_LOW)
-                       for lo, hi, pl, ph in used])
-    tput_low = max(p[0] for p in used)
-    tput_high = max(p[1] for p in used)
+    eff_norm = ((med[1]["value"] / med[3]) / (med[0]["value"] / med[2])) \
+        / (N_HIGH / N_LOW)
     ordering_match = len(hashes) == 1  # every run, both levels, all rounds
+
+    def phase_row(parsed):
+        ph = dict(parsed.get("crawl_phases", {}))
+        ph["crawl_sec"] = parsed["queries"]["crawl"]
+        ph["urls_per_sec"] = parsed["value"]
+        return ph
+
+    med_low, med_high = phase_row(med[0]), phase_row(med[1])
+    # per-phase scaling of the median round: says WHICH phase fails to
+    # scale when the headline number does (t_other ~ driver floor)
+    phase_scaling = {
+        k: round((med_low[k] / med_high[k]) / (N_HIGH / N_LOW), 3)
+        for k in ("t_wave", "t_mat", "t_commit", "t_other")
+        if med_high.get(k) and med_low.get(k)
+    }
     report = {
         "crawl_ordering_match_across_parallelism": ordering_match,
         "metric": f"scaling_efficiency_{N_LOW}_to_{N_HIGH}",
@@ -157,15 +173,20 @@ def main() -> int:
         "unit": "ratio",
         "admissible_rounds": len(admissible),
         "max_probe_drift": max_drift,
-        "rounds": [{"low": lo, "high": hi,
-                    "eff": round((hi / lo) / (N_HIGH / N_LOW), 3),
+        "rounds": [{"low": lo["value"], "high": hi["value"],
+                    "eff": round(pair_eff(p), 3),
                     "probe_low": round(pl, 1), "probe_high": round(ph, 1),
                     "admissible": drift(pl, ph) <= max_drift}
-                   for lo, hi, pl, ph in pairs],
-        "urls_per_sec": {f"local[{N_LOW}]": tput_low,
-                         f"local[{N_HIGH}]": tput_high},
-        "queries": {f"local[{N_LOW}]": low["queries"],
-                    f"local[{N_HIGH}]": high["queries"]},
+                   for p in pairs for lo, hi, pl, ph in [p]],
+        "median_round": {f"local[{N_LOW}]": med_low,
+                         f"local[{N_HIGH}]": med_high},
+        "phase_scaling_median_round": phase_scaling,
+        "urls_per_sec": {f"local[{N_LOW}]": med[0]["value"],
+                         f"local[{N_HIGH}]": med[1]["value"]},
+        "full_table_warmup_run": {
+            f"local[{N_LOW}]": low["queries"],
+            f"local[{N_HIGH}]": high["queries"]},
+        "crawl_urls_processed": med[0]["crawl_urls_processed"],
         "sf": low["sf"],
         "wall_sec": round(time.time() - t0, 1),
     }
@@ -190,19 +211,42 @@ def main() -> int:
         "probe is rerun and embedded in every report.",
         "",
         f"Input: `{SF_DIR}` (+ synthetic corpus, "
-        f"{low.get('crawl_urls_processed', '?')} URLs processed).",
+        f"{med[0].get('crawl_urls_processed', '?')} URLs processed).",
         "",
         f"CPU probe (hash-burn units/sec by process count): {probe}",
         "",
-        "| config | crawl URLs/sec | crawl sec | minhash | doc_stats | "
-        "embed_topk | frontier_ops |",
+        "Headline numbers all come from ONE round — the admissible round",
+        "realizing the median efficiency — so URLs/sec x crawl-sec x",
+        "URLs-processed are mutually consistent.  Phase walls (t_wave =",
+        "wave grant, t_mat = parse/canonicalize/dedup/rank, t_commit =",
+        "state writes, t_other = driver loop) are summed over that round's",
+        "busy supersteps.",
+        "",
+        "| config | crawl URLs/sec | crawl sec | t_wave | t_mat | "
+        "t_commit | t_other |",
         "|---|---|---|---|---|---|---|",
-        f"| local[{N_LOW}]  | {tput_low} | {low['queries']['crawl']} | "
-        f"{low['queries']['minhash_dedup']} | {low['queries']['doc_stats']} | "
-        f"{low['queries']['embed_topk']} | {low['queries']['frontier_ops']} |",
-        f"| local[{N_HIGH}] | {tput_high} | {high['queries']['crawl']} | "
-        f"{high['queries']['minhash_dedup']} | {high['queries']['doc_stats']} | "
-        f"{high['queries']['embed_topk']} | {high['queries']['frontier_ops']} |",
+        f"| local[{N_LOW}]  | {med_low['urls_per_sec']} | "
+        f"{med_low['crawl_sec']} | {med_low.get('t_wave', '?')} | "
+        f"{med_low.get('t_mat', '?')} | {med_low.get('t_commit', '?')} | "
+        f"{med_low.get('t_other', '?')} |",
+        f"| local[{N_HIGH}] | {med_high['urls_per_sec']} | "
+        f"{med_high['crawl_sec']} | {med_high.get('t_wave', '?')} | "
+        f"{med_high.get('t_mat', '?')} | {med_high.get('t_commit', '?')} | "
+        f"{med_high.get('t_other', '?')} |",
+        "",
+        f"Per-phase scaling efficiency, median round: {phase_scaling}",
+        "",
+        "Full query table (separate warm-up pass, not part of the "
+        "efficiency sample):",
+        "",
+        "| config | minhash | doc_stats | embed_topk | frontier_ops |",
+        "|---|---|---|---|---|",
+        f"| local[{N_LOW}]  | {low['queries']['minhash_dedup']} | "
+        f"{low['queries']['doc_stats']} | {low['queries']['embed_topk']} | "
+        f"{low['queries']['frontier_ops']} |",
+        f"| local[{N_HIGH}] | {high['queries']['minhash_dedup']} | "
+        f"{high['queries']['doc_stats']} | {high['queries']['embed_topk']} | "
+        f"{high['queries']['frontier_ops']} |",
         "",
         f"**Scaling efficiency ({N_LOW}→{N_HIGH} cores): "
         f"{report['value']}** (median over {len(used)} admissible of "

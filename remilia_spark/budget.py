@@ -30,27 +30,61 @@ from .config import CrawlConfig
 BUDGETS_SCHEMA = "host string, tokens long, refill_superstep int"
 
 
-def available_tokens(hosts: DataFrame, budgets: DataFrame,
-                     robots: DataFrame | None, cfg: CrawlConfig,
-                     superstep: int) -> DataFrame:
-    """(host) -> (host, avail:long). ``hosts`` must be distinct host rows."""
-    df = hosts.join(budgets, "host", "left")
-    if robots is not None and cfg.use_crawl_delay:
-        df = df.join(robots.select("host", "crawl_delay"), "host", "left")
-    else:
-        df = df.withColumn("crawl_delay", F.lit(None).cast("int"))
+def _avail_col(cfg: CrawlConfig, superstep: int):
+    """The token-bucket availability expression over joined
+    (tokens, refill_superstep, crawl_delay) columns."""
     elapsed = F.lit(superstep) - F.col("refill_superstep")
     gained = F.when(
         F.coalesce(F.col("crawl_delay"), F.lit(0)) > 0,
         F.floor(elapsed / F.col("crawl_delay")),
     ).otherwise(elapsed * F.lit(cfg.fill_quantum))
-    avail = F.when(
+    return F.when(
         F.col("tokens").isNull(),
         F.lit(min(cfg.bucket_capacity, cfg.initial_tokens)),
     ).otherwise(
         F.least(F.lit(cfg.bucket_capacity), F.col("tokens") + gained)
     )
-    return df.select("host", avail.cast("long").alias("avail"))
+
+
+def _join_budget_state(df: DataFrame, budgets: DataFrame,
+                       robots: DataFrame | None, cfg: CrawlConfig,
+                       hint_broadcast: bool = False) -> DataFrame:
+    def h(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if hint_broadcast else t
+    df = df.join(h(budgets), "host", "left")
+    if robots is not None and cfg.use_crawl_delay:
+        df = df.join(h(robots.select("host", "crawl_delay")), "host", "left")
+    else:
+        df = df.withColumn("crawl_delay", F.lit(None).cast("int"))
+    return df
+
+
+def available_tokens(hosts: DataFrame, budgets: DataFrame,
+                     robots: DataFrame | None, cfg: CrawlConfig,
+                     superstep: int) -> DataFrame:
+    """(host) -> (host, avail:long). ``hosts`` must be distinct host rows."""
+    df = _join_budget_state(hosts, budgets, robots, cfg)
+    return df.select("host", _avail_col(cfg, superstep).cast("long")
+                     .alias("avail"))
+
+
+def attach_avail(pending: DataFrame, budgets: DataFrame,
+                 robots: DataFrame | None, cfg: CrawlConfig,
+                 superstep: int) -> DataFrame:
+    """Append ``avail`` to pending rows directly — no distinct-hosts
+    shuffle, no join back.  ``avail`` is a pure function of the host's
+    budget/robots row and the superstep, so it can be computed per pending
+    row; the per-host state tables are orders of magnitude smaller than the
+    frontier (one row per *host*, not per URL), so when
+    ``cfg.broadcast_politeness`` they join as broadcasts and the eligible
+    set is never shuffled for politeness at all.  (At ≥10^8 hosts set
+    ``broadcast_politeness=False`` and Spark falls back to a shuffle join.)
+    """
+    df = _join_budget_state(pending, budgets, robots, cfg,
+                            hint_broadcast=cfg.broadcast_politeness)
+    return df.select(*pending.columns,
+                     F.coalesce(_avail_col(cfg, superstep).cast("long"),
+                                F.lit(0)).alias("avail"))
 
 
 def updated_budgets(budgets: DataFrame, grants: DataFrame,

@@ -42,17 +42,36 @@ class CrawlConfig:
     max_attempt: int = 10
 
     # scale knobs
-    # frontier state is delta-committed (changed rows only); every K busy
-    # supersteps a full folded base snapshot is rewritten so the delta
-    # chain — and the fold's broadcast "touched keys" set — stays bounded
+    # frontier state is delta-committed (changed rows only); a full folded
+    # base snapshot is rewritten — resetting the chain — every K busy
+    # supersteps OR once the chain's accumulated row mass (recorded in the
+    # manifest) crosses frontier_compact_rows, whichever first.  The mass
+    # trigger keeps the fold's "touched keys" anti-join side bounded even
+    # when single waves are huge; it matches storage.BROADCAST_FOLD_MAX_ROWS
+    # so a chain under it folds with a broadcast and anything bigger falls
+    # back to a shuffle anti-join automatically.
     frontier_compact_every: int = 8
+    frontier_compact_rows: int = 4_000_000
+    # the append-only seen table gets the same periodic fold (base + delta
+    # chain in the manifest) so the anti-join never reads one directory per
+    # superstep ever run; rewriting costs O(total) every K steps, so the
+    # cadence is coarser than the frontier's
+    seen_compact_every: int = 16
     shuffle_partitions: int = 32
     rank_partitions: int = 32          # range partitions for global ranking
     # waves at or below this size rank discoveries with a plain global
     # window (one small shuffle, no extra action); larger waves use the
     # range-partitioned scalable rank — both produce identical values
     rank_small_wave: int = 10_000
-    skew_threshold: int = 50_000       # pending rows per host before salting
+    # the budget pop always salts hosts into this many sub-partitions for
+    # its two-phase top-k (identical output to a single per-host window,
+    # but no partition ever sees a whole mega-host — and no driver-side
+    # skew probe job)
+    skew_salts: int = 16
+    # politeness state (budgets/robots) is one row per HOST; broadcast it
+    # into the grant joins so the eligible set is never shuffled for
+    # politeness.  Disable at ≥10^8 hosts to fall back to shuffle joins.
+    broadcast_politeness: bool = True
     broadcast_wave_max: int = 2_000_000  # wave rows under which to hint broadcast
     # bloom prefilter for the seen anti-join (bloom.py); per-bucket bitmap
     # size is fixed — at 10^10 keys configure ~4096 buckets x 2^31 bits

@@ -1,0 +1,152 @@
+"""Pure-Python image codecs — a REAL decoder for the multimodal seam.
+
+The sandbox ships no Pillow/ffmpeg, so ``multimodal``'s default decode is a
+stub.  This module proves the seam with two actual uncompressed formats
+implementable in ~stdlib+numpy:
+
+* **PPM (P6)** — the netpbm binary RGB format: ASCII header
+  (magic, width, height, maxval, ``#`` comments) then a raw RGB raster.
+* **BMP (24-bit BI_RGB)** — BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40),
+  bottom-up BGR rows padded to 4-byte boundaries.
+
+``decode_auto`` dispatches on magic bytes and returns an ``(H, W, 3)``
+uint8 array, or ``None`` for anything unparseable (corrupt header, short
+raster, unsupported variant) — never raises, matching the crawl engine's
+malformed-input contract.  ``multimodal.extract_features(...,
+decoder=decode_auto)`` then runs real pixels through the same distributed
+plumbing the stub exercises.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _ppm_tokens(buf: bytes, n: int, pos: int) -> tuple[list[int], int] | None:
+    """Read ``n`` whitespace-separated ASCII ints, skipping ``#`` comments.
+    Returns (values, offset-after-last-token) or None on malformed input."""
+    vals: list[int] = []
+    i = pos
+    while len(vals) < n:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i:i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            return None
+        try:
+            vals.append(int(buf[i:j]))
+        except ValueError:
+            return None
+        i = j
+    return vals, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval <= 255) -> (H, W, 3) uint8, or None."""
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    parsed = _ppm_tokens(payload, 3, 2)
+    if parsed is None:
+        return None
+    (w, h, maxval), i = parsed
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None
+    i += 1  # exactly one whitespace byte after maxval, per spec
+    need = w * h * 3
+    raster = payload[i:i + need]
+    if len(raster) < need:
+        return None
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM bytes (round-trips decode_ppm)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BI_RGB BMP -> (H, W, 3) uint8 (RGB), or None."""
+    if payload is None or len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    bgr = np.ascontiguousarray(arr[:, :, ::-1], dtype=np.uint8)
+    raster[:, :w * 3] = bgr.reshape(h, w * 3)
+    raster = raster[::-1]  # bottom-up
+    body = raster.tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + body
+
+
+def decode_auto(payload: bytes) -> np.ndarray | None:
+    """Magic-byte dispatch over the supported formats; None if neither."""
+    if payload is None:
+        return None
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return None
+
+
+def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(H, W) <= max_side (no upscale)."""
+    h, w = arr.shape[:2]
+    scale = max(h, w) / max_side
+    if scale <= 1.0:
+        return arr
+    nh, nw = max(1, round(h / scale)), max(1, round(w / scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return arr[yi][:, xi]
+
+
+def pixel_feature(arr: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic dim-length float32 feature from real pixels: per-chunk
+    luminance means over the row-major flattened image, normalized to
+    [0, 1] (the real-codec analogue of multimodal._fake_decode)."""
+    lum = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+           + 0.114 * arr[:, :, 2]).ravel()
+    chunks = np.array_split(lum.astype(np.float64), dim)
+    return (np.array([c.mean() if len(c) else 0.0 for c in chunks])
+            / 255.0).astype(np.float32)

@@ -6,10 +6,14 @@ exactly like the crawl engine's ``html:binary``.  The Spark-side machinery
 real and tested; the codec calls themselves are stubbed because this
 container ships no media libraries (Pillow/ffmpeg):
 
-* ``decode_stub=True`` (default) runs a deterministic fake decoder so the
-  full distributed path executes end-to-end and is testable;
-* ``decode_stub=False`` raises ``NotImplementedError`` at the exact seam a
-  real decoder (PIL.Image.open / av.open) plugs into.
+* ``decoder=<callable>`` plugs a real ``bytes -> (H, W, 3) uint8 | None``
+  decoder into the seam — ``datapipe.codecs.decode_auto`` is a pure-Python
+  PPM/BMP implementation proving it with real pixels (tests/
+  test_multimodal_codec.py); PIL.Image.open / av.open drop in the same way;
+* ``decoder=None, decode_stub=True`` (default) runs a deterministic fake
+  decoder so the full distributed path executes even with no codec libs;
+* ``decoder=None, decode_stub=False`` raises ``NotImplementedError`` at
+  the seam.
 
 Batch-size note for 100 TB: media rows are orders of magnitude wider than
 text — callers should set ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -44,16 +48,30 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, dim: int = 8,
-                     decode_stub: bool = True) -> DataFrame:
-    """binary payload -> fixed-width float feature, via mapInPandas."""
+                     decode_stub: bool = True,
+                     decoder=None) -> DataFrame:
+    """binary payload -> fixed-width float feature, via mapInPandas.
+
+    ``decoder``: real ``bytes -> (H, W, 3) uint8 | None`` pixel decoder
+    (e.g. ``codecs.decode_auto``); undecodable payloads yield a zero
+    feature, never an exception (the crawl engine's malformed-input
+    contract)."""
+    from .codecs import pixel_feature
+
+    def one(p, dim):
+        if decoder is not None:
+            arr = decoder(bytes(p) if p is not None else b"")
+            return (pixel_feature(arr, dim) if arr is not None
+                    else np.zeros(dim, dtype=np.float32))
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode needs a decoder callable (see "
+                "datapipe.codecs) or Pillow/av; plug in here")
+        return _fake_decode(p, dim)
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode needs Pillow/av; plug in here")
-            feats = [
-                _fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            feats = [one(p, dim).tolist() for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -67,15 +85,35 @@ def extract_features(df: DataFrame, dim: int = 8,
 
 
 def thumbnail(df: DataFrame, max_side: int = 32,
-              decode_stub: bool = True) -> DataFrame:
-    """Resize stub: passes byte-truncated payloads through the real
+              decode_stub: bool = True, decoder=None) -> DataFrame:
+    """Downscale thumbnails.  With a real ``decoder``, pixels are decoded,
+    nearest-neighbor resized, and re-encoded as PPM bytes (codecs module);
+    the default stub passes byte-truncated payloads through the same
     Arrow/binary plumbing (a real impl swaps the body, not the shape)."""
+    from .codecs import encode_ppm, resize_nearest
+
+    def real(p):
+        arr = decoder(bytes(p) if p is not None else b"")
+        if arr is None:
+            return b"", 0, 0
+        t = resize_nearest(arr, max_side)
+        return encode_ppm(t), t.shape[1], t.shape[0]
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decoder is not None:
+                out = [real(p) for p in pdf["payload"]]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "thumb": [t for t, _, _ in out],
+                    "thumb_w": [w for _, w, _ in out],
+                    "thumb_h": [h for _, _, h in out],
+                })
+                continue
             if not decode_stub:
                 raise NotImplementedError(
-                    "real resize needs Pillow; plug in here")
+                    "real resize needs a decoder callable (see "
+                    "datapipe.codecs) or Pillow; plug in here")
             cap = max_side * max_side
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

@@ -29,7 +29,6 @@ from .storage import (
     BUDGETS_SCHEMA,
     METRICS_SCHEMA,
     RESULTS_SCHEMA,
-    SEEN_SCHEMA,
     ParquetSnapshotStorage,
 )
 
@@ -45,8 +44,10 @@ class CrawlRun:
                                         RESULTS_SCHEMA)
 
     def seen(self) -> DataFrame | None:
-        return self.storage.read_deltas("seen", self.last_superstep,
-                                        SEEN_SCHEMA)
+        """Seen set via the manifest's base + delta chain (periodically
+        compacted; stale delta dirs are left for out-of-band GC, like
+        Iceberg's expire_snapshots)."""
+        return self.storage.read_seen(self.last_superstep)
 
     def metrics(self) -> DataFrame | None:
         return self.storage.read_deltas("metrics", self.last_superstep,
@@ -154,7 +155,7 @@ class Engine:
                 # with pure manifest-alias commits — zero Spark jobs
                 next_s = min(k for k in head["hist"] if k > s)
                 next_s = min(next_s, limit)
-                reuse_keys = ["frontier", "budgets"]
+                reuse_keys = ["frontier", "budgets", "seen"]
                 if "bloom" in storage.manifest(s)["tables"]:
                     reuse_keys.append("bloom")
                 for t in range(s, next_s):

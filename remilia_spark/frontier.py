@@ -38,12 +38,12 @@ from pyspark.sql.types import StringType, StructField, StructType
 from . import urlnorm
 from .backoff import backoff_steps_col
 from .bloom import split_candidates, update_bloom
-from .budget import available_tokens, updated_budgets
+from .budget import attach_avail, updated_budgets
 from .config import CrawlConfig
 from .extract import extract
 from .ranking import global_rank, grant_wave
 from .robots import with_robots_state
-from .storage import SEEN_SCHEMA, ParquetSnapshotStorage
+from .storage import ParquetSnapshotStorage
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
@@ -207,7 +207,7 @@ def run_superstep(
         stats = {"superstep": s, "pending": n_pending, "eligible": 0,
                  "wave": 0, "fetched": 0, "discovered": 0,
                  "pending_after": n_pending, "idle": True}
-        reuse = {"frontier": s, "budgets": s}
+        reuse = {"frontier": s, "budgets": s, "seen": s}
         if "bloom" in storage.manifest(s)["tables"]:
             reuse["bloom"] = s
         storage.commit(s + 1, {}, extra={"stats": stats}, reuse=reuse)
@@ -216,18 +216,23 @@ def run_superstep(
     # ---- budget grant + priority pop (R10) --------------------------------
     t_plan = time.monotonic()
     eligible = frontier.where(is_eligible)
-    avail = available_tokens(eligible.select("host").distinct(), budgets,
-                             robots, cfg, s)
-    granted = grant_wave(eligible, avail, cfg,
-                         skip_skew_check=n_eligible <= cfg.skew_threshold)
+    granted = grant_wave(attach_avail(eligible, budgets, robots, cfg, s),
+                         cfg)
     if cfg.wave_size is not None:
         granted = granted.orderBy("depth", "host_rank", "discovery_order") \
                          .limit(cfg.wave_size)
-    # No wave.count() driver action: the exact wave size comes back with
-    # the committed metrics (wave histogram rows); decisions that need a
-    # size NOW use n_eligible, a deterministic upper bound (wave ⊆
-    # eligible).  The wave cache is materialized by new_rows.count().
-    wave = granted.persist()
+    # Eager local checkpoint, not persist: every downstream action (the
+    # parse materialization, 5-6 commit writes, metric aggregates) replans
+    # its whole logical tree and re-executes any broadcast exchanges in it.
+    # With persist() those plans still carry the full frontier-fold + window
+    # lineage, so each superstep paid ~10 actions x (Catalyst + AQE + py4j +
+    # broadcast-build) of *driver-only* time — measured 35% of the run with
+    # zero tasks running at local[8], the scaling-gate killer (flat wall
+    # 2->8 cores).  Checkpointing truncates the plan to an in-memory
+    # LogicalRDD: one distributed job computes the data, every consumer
+    # plans in ~ms.  (State durability is unaffected — the commit still
+    # round-trips everything through the storage manifest protocol.)
+    wave = granted.localCheckpoint(eager=True)
     t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
@@ -245,7 +250,7 @@ def run_superstep(
                   _PARSE_SCHEMA)
     for hook in post_parse_hooks or ():  # R14: response-hook chain
         parsed = hook(parsed)
-    parsed = parsed.persist()
+    parsed = parsed.localCheckpoint(eager=True)  # one parse pass, ever
 
     results = parsed.select(
         F.lit(s).cast("int").alias("superstep"),
@@ -279,20 +284,16 @@ def run_superstep(
             F.col("m.link_index").cast("int").alias("link_index"),
             F.col("m.parent_hash").alias("parent_hash"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     rank_cleanup: list = []
-    seen = storage.read_deltas("seen", s, SEEN_SCHEMA)
-    use_bloom = (cfg.bloom_enabled
-                 and "bloom" in storage.manifest(s)["tables"])
+    seen = storage.read_seen(s)
+    man_s = storage.manifest(s)["tables"]
+    use_bloom = cfg.bloom_enabled and "bloom" in man_s
     # prefilter engages only once the seen set is big enough to matter;
-    # total size comes free from the committed manifests (no Spark job)
-    n_seen = sum(
-        storage.manifest(k)["tables"].get("seen", {}).get("rows", 0)
-        for k in range(s + 1)
-        if storage.has_manifest(k)
-    ) if use_bloom else 0
+    # the running total rides in the manifest (one read, not O(s) scans)
+    n_seen = man_s.get("seen", {}).get("total_rows", 0)
     bloom_tbl = storage.read_snapshot("bloom", s) if use_bloom else None
     if seen is None:
         fresh = cand
@@ -327,7 +328,7 @@ def run_superstep(
         F.lit(0).alias("attempt"),
         F.lit(s + 1).alias("next_eligible"),
         _insert_state(cfg).alias("state"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     seen_delta = new_rows.select(
         "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
@@ -365,8 +366,9 @@ def run_superstep(
         .unionByName(new_rows.select(*FRONTIER_COLS))
         .withColumn("rev", F.lit(s + 1).cast("int"))
     )
-    n_deltas = len(storage.manifest(s)["tables"]["frontier"]["deltas"])
-    compact = n_deltas + 1 >= cfg.frontier_compact_every
+    f_ent = man_s["frontier"]
+    compact = (len(f_ent["deltas"]) + 1 >= cfg.frontier_compact_every
+               or f_ent.get("delta_rows", 0) >= cfg.frontier_compact_rows)
     if compact:
         untouched = frontier.join(wave_keyed.select("url_hash", "url"),
                                   ["url_hash", "url"], "left_anti")
@@ -447,11 +449,34 @@ def run_superstep(
     )
     metrics = part_rows.unionByName(totals) \
         .unionByName(hist_wave).unionByName(hist_retry)
+    # bloom saturation watchdog (driver math, no Spark job): past the ~1%
+    # design FP point (n* ≈ m/9.6 keys/bucket at 6 hashes) the prefilter
+    # silently degrades toward pass-through — every candidate flagged
+    # "maybe seen" pays the exact anti-join again.  Correctness never
+    # depends on the bloom, so the response is visibility: a metrics row
+    # (partition_id = -3, rows_in = total keys) + a stats flag telling the
+    # operator to re-deploy with more buckets (the bitmap cannot be
+    # rebuilt mid-run without false negatives; see config.bloom_*).
+    bloom_keys_per_bucket = (n_seen / cfg.bloom_num_buckets) if use_bloom \
+        else 0.0
+    bloom_saturated = use_bloom and \
+        bloom_keys_per_bucket > cfg.bloom_bucket_bits / 9.6
+    if bloom_saturated:
+        sat_row = spark.createDataFrame(
+            [(s, -3, int(n_seen)) + (None,) * 7],
+            metrics.schema)
+        metrics = metrics.unionByName(sat_row)
 
+    # seen compaction: periodically fold base + delta chain + this delta
+    # into a fresh base so the anti-join read side stays a bounded file set
+    seen_compact = (seen is not None and
+                    len(man_s.get("seen", {}).get("deltas", ())) + 1
+                    >= cfg.seen_compact_every)
+    seen_tbl = seen.unionByName(seen_delta) if seen_compact else seen_delta
     tables = {
         "frontier": frontier_tbl,
         "budgets": budgets_next,
-        "seen": seen_delta,
+        "seen": seen_tbl,
         "results": results,
         "metrics": metrics,
     }
@@ -462,23 +487,24 @@ def run_superstep(
             bloom_tbl, new_rows.select("url_hash"),
             num_buckets=cfg.bloom_num_buckets,
             n_bits=cfg.bloom_bucket_bits, n_hashes=cfg.bloom_num_hashes)
-    # Materialize the shared lineage ONCE before the concurrent table
-    # writes: new_rows.count() fills the parsed/cand/new_rows caches, so
-    # the 5-6 parallel write jobs are cache reads + cheap joins.  Without
-    # it they all race to compute the same uncached partitions — N
-    # simultaneous copies of the Python parse stage, *worse* with more
-    # cores (the round-1 local[8]-slower-than-local[2] anomaly).
-    new_rows.count()
+    # The eager checkpoints above already materialized the shared lineage
+    # exactly once (wave -> parsed -> cand -> new_rows), so the 5-6
+    # concurrent write jobs below are shallow scans over in-memory blocks —
+    # no repeated parse stages (the round-1 anomaly) and no repeated
+    # planning/broadcast work (the round-2 driver-floor anomaly).
     t_mat = time.monotonic()
     storage.commit(s + 1, tables, extra={"stats_pending": n_pending},
-                   delta_frontier=not compact)
+                   delta_frontier=not compact,
+                   delta_seen=not seen_compact)
     t_commit = time.monotonic()
 
     summ = storage.metrics_summary(s + 1)  # driver-local, no Spark job
     tot = summ["totals"]
     man = storage.manifest(s + 1)
     n_fetched = man["tables"]["results"]["rows"]
-    n_new = man["tables"]["seen"]["rows"]
+    # delta vs compacted-base agnostic: the running totals difference is
+    # exactly this superstep's newly-seen count
+    n_new = man["tables"]["seen"]["total_rows"] - n_seen
     n_wave = tot["rows_in"]
     budget_deferred = n_eligible - n_wave
     # Derive the NEXT superstep's head from the committed histograms — the
@@ -508,11 +534,16 @@ def run_superstep(
         "t_wave": round(t_wave - t_plan, 2),
         "t_mat": round(t_mat - t_wave, 2),
         "t_commit": round(t_commit - t_mat, 2),
+        "bloom_keys_per_bucket": round(bloom_keys_per_bucket, 1),
+        "bloom_saturated": bloom_saturated,
         "deduped": tot["deduped"], "robots_blocked": tot["robots_blocked"],
         "budget_deferred": budget_deferred, "wall_ms": tot["wall_ms"],
         # by construction equals (pending - wave) + retries + new_pending
         "pending_after": head_next["pending"],
     }
-    for df in (wave, parsed, cand, new_rows, *rank_cleanup):
+    for df in rank_cleanup:
         df.unpersist()
+    # checkpoint blocks (wave/parsed/cand/new_rows) are released by the
+    # ContextCleaner once the DataFrames go out of scope; they spill
+    # MEMORY_AND_DISK meanwhile, so a long run cannot OOM on them
     return stats

@@ -74,40 +74,37 @@ def global_rank(df: DataFrame, keys: list[str], out_col: str,
     )
 
 
-def grant_wave(pending: DataFrame, avail: DataFrame, cfg: CrawlConfig,
-               skip_skew_check: bool = False) -> DataFrame:
+def grant_wave(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Budget pop: pending rows that fit their host's budget, + host_rank.
 
-    ``pending`` must carry (host, depth, discovery_order); ``avail`` is
-    (host, avail).  Returns pending columns + ``host_rank`` (1-based) +
-    ``avail``, filtered to ``host_rank <= avail``.  Pass
-    ``skip_skew_check=True`` when the caller already knows the total
-    eligible count is below the skew threshold (saves a driver action).
-    """
-    df = pending.join(avail, "host", "left") \
-                .withColumn("avail", F.coalesce("avail", F.lit(0)))
-    if skip_skew_check:
-        skewed: list[str] = []
-    else:
-        counts = df.groupBy("host").count() \
-                   .where(F.col("count") > cfg.skew_threshold)
-        skewed = [r["host"] for r in counts.collect()]  # few mega-hosts
+    ``pending`` must carry (host, depth, discovery_order, avail — see
+    ``budget.attach_avail``).  Returns pending columns + ``host_rank``
+    (1-based), filtered to ``host_rank <= avail``.
 
+    The pop is ALWAYS the salted two-phase top-k: local rank within
+    ``(host, salt)`` prunes each host to ``<= n_salts * avail`` survivors,
+    then the real per-host rank runs on the pruned set.  Phase 1 can never
+    drop a true top-k row (a row's local rank is a lower bound on its host
+    rank), so the result equals the plain one-window answer row-for-row —
+    while no partition ever holds more than ~1/n_salts of a mega-host in
+    phase 1 or more than ``n_salts * avail`` rows of one host in phase 2.
+    Earlier rounds salted only driver-detected mega-hosts; that cost a
+    whole extra Spark job (count + collect, re-executing the frontier fold)
+    per busy superstep — a pure driver-latency tax at any cluster size,
+    and the unsalted path it usually took is exactly the one that dies on
+    a 10^10-frontier mega-host.  Unconditional salting needs no count at
+    all: one plan, bounded partitions, zero driver actions.
+    """
+    df = pending
     order = [F.col(c) for c in HOST_ORDER]
-    if skewed:
-        nsalt = 16
-        df = df.withColumn(
-            "_salt",
-            F.when(F.col("host").isin(skewed),
-                   F.pmod(F.xxhash64("url"), F.lit(nsalt)))
-            .otherwise(F.lit(0)),
-        )
-        w_local = Window.partitionBy("host", "_salt").orderBy(*order)
-        df = (
-            df.withColumn("_lr", F.row_number().over(w_local))
-              .where(F.col("_lr") <= F.col("avail"))  # prune before real rank
-              .drop("_lr", "_salt")
-        )
+    w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+    df = (
+        df.withColumn("_salt", F.pmod(F.xxhash64("url"),
+                                      F.lit(cfg.skew_salts)))
+          .withColumn("_lr", F.row_number().over(w_local))
+          .where(F.col("_lr") <= F.col("avail"))  # prune before real rank
+          .drop("_lr", "_salt")
+    )
     w_host = Window.partitionBy("host").orderBy(*order)
     return (
         df.withColumn("host_rank", F.row_number().over(w_host))

@@ -93,12 +93,24 @@ def _summarize_metrics(rows, as_int) -> dict:
     return out
 
 
-def fold_frontier(df: DataFrame, base: int, has_deltas: bool) -> DataFrame:
+# Above this many accumulated delta rows the fold's "touched keys" side is
+# no longer force-broadcast (a 10^8-row broadcast is a driver/executor OOM,
+# not an optimization) — the anti-join falls back to a shuffle, where AQE
+# may still pick a broadcast from real size stats.  Compaction normally
+# keeps chains far below this (cfg.frontier_compact_rows <= this bound);
+# the guard matters when a single wave alone exceeds it.
+BROADCAST_FOLD_MAX_ROWS = 4_000_000
+
+
+def fold_frontier(df: DataFrame, base: int, has_deltas: bool,
+                  delta_rows: int | None = None) -> DataFrame:
     """Fold frontier rows (base ∪ deltas, FRONTIER_REV_SCHEMA) to the
     current version per key.  A row version is stale iff its key reappears
     at a higher ``rev``; only wave transitions supersede (fetched/failed,
     or a retry with attempt > 0), so the stale-key set is those delta rows
-    — bounded by the compaction interval, hence broadcast-hinted.
+    — bounded by the compaction interval.  The anti-join is broadcast-
+    hinted only while the chain's recorded row count (``delta_rows``, from
+    the manifest) stays under ``BROADCAST_FOLD_MAX_ROWS``.
     Deterministic: (key, rev) pairs are unique, so there are no ties."""
     if not has_deltas:
         return df
@@ -108,7 +120,9 @@ def fold_frontier(df: DataFrame, base: int, has_deltas: bool) -> DataFrame:
                     | (F.col("attempt") > 0)))
         .select("url_hash", "url", F.col("rev").alias("t_rev"))
     )
-    a, t = df.alias("a"), F.broadcast(touched).alias("t")
+    small = delta_rows is not None and delta_rows <= BROADCAST_FOLD_MAX_ROWS
+    t = F.broadcast(touched) if small else touched
+    a, t = df.alias("a"), t.alias("t")
     return a.join(
         t,
         (F.col("a.url_hash") == F.col("t.url_hash"))
@@ -159,7 +173,8 @@ class ParquetSnapshotStorage:
     def commit(self, s: int, tables: dict[str, DataFrame],
                extra: dict | None = None,
                reuse: dict[str, int] | None = None,
-               delta_frontier: bool = False) -> dict:
+               delta_frontier: bool = False,
+               delta_seen: bool = True) -> dict:
         """Write ``tables`` for superstep ``s`` and publish the manifest.
 
         Lineage: for every written parquet file, its row count (read back
@@ -170,17 +185,35 @@ class ParquetSnapshotStorage:
 
         ``delta_frontier``: the ``frontier`` entry in ``tables`` holds only
         this superstep's changed rows (must carry ``rev``); the manifest
-        chains it onto the previous commit's base.  Otherwise the frontier
-        entry is a full folded snapshot and becomes the new base.
+        chains it onto the previous commit's base and records the chain's
+        accumulated ``delta_rows`` (drives both compaction cadence and the
+        fold's broadcast-vs-shuffle choice).  Otherwise the frontier entry
+        is a full folded snapshot and becomes the new base.
+
+        ``delta_seen`` works the same for the ``seen`` table (default True:
+        normal supersteps append only the newly-discovered keys); a False
+        commit writes a full folded base so the read side never faces an
+        unbounded directory chain.  Either way the entry carries
+        ``total_rows``, the running seen-set size — O(1) for the engine to
+        read back instead of an O(supersteps) manifest scan.
         """
         lineage: dict[str, dict] = {}
         for name, prev in (reuse or {}).items():
             lineage[name] = self.manifest(prev)["tables"][name]
 
+        # a seen delta needs a previous manifest to chain onto; the very
+        # first commit is always a base
+        seen_is_delta = delta_seen and self.has_manifest(s - 1)
+
         def write_one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
             name, df = item
-            if name == "frontier" and delta_frontier:
-                path = self.root / "frontier" / f"delta_s={s:06d}"
+            as_delta = (name == "frontier" and delta_frontier) or \
+                       (name == "seen" and seen_is_delta)
+            as_base = name in ("frontier", "seen") and not as_delta
+            if as_delta:
+                path = self.root / name / f"delta_s={s:06d}"
+            elif as_base:
+                path = self.root / name / f"s={s:06d}"
             else:
                 path = self._table_dir(name, s)
             df.write.mode("overwrite").parquet(str(path))
@@ -207,9 +240,23 @@ class ParquetSnapshotStorage:
                 prev = self.manifest(s - 1)["tables"]["frontier"]
                 lineage["frontier"]["base"] = prev["base"]
                 lineage["frontier"]["deltas"] = [*prev["deltas"], s]
+                lineage["frontier"]["delta_rows"] = \
+                    prev.get("delta_rows", 0) + lineage["frontier"]["rows"]
             else:
                 lineage["frontier"]["base"] = s
                 lineage["frontier"]["deltas"] = []
+                lineage["frontier"]["delta_rows"] = 0
+        if "seen" in tables:
+            if seen_is_delta:
+                prev = self.manifest(s - 1)["tables"]["seen"]
+                lineage["seen"]["base"] = prev["base"]
+                lineage["seen"]["deltas"] = [*prev["deltas"], s]
+                lineage["seen"]["total_rows"] = \
+                    prev.get("total_rows", 0) + lineage["seen"]["rows"]
+            else:
+                lineage["seen"]["base"] = s
+                lineage["seen"]["deltas"] = []
+                lineage["seen"]["total_rows"] = lineage["seen"]["rows"]
         manifest = {
             "superstep": s,
             "committed_at": time.time(),
@@ -249,7 +296,21 @@ class ParquetSnapshotStorage:
         paths += [str(self.root / "frontier" / f"delta_s={k:06d}")
                   for k in deltas]
         df = self.spark.read.schema(FRONTIER_REV_SCHEMA).parquet(*paths)
-        return fold_frontier(df, base, bool(deltas))
+        return fold_frontier(df, base, bool(deltas),
+                             delta_rows=ent.get("delta_rows"))
+
+    def read_seen(self, s: int) -> DataFrame | None:
+        """Seen set as of committed superstep ``s``: the base snapshot plus
+        the delta chain the manifest records — never a directory glob over
+        every superstep ever run (at 10^4 supersteps that glob alone is a
+        file-listing stall)."""
+        ent = self.manifest(s)["tables"].get("seen")
+        if ent is None:
+            return None
+        paths = [str(self.root / "seen" / f"s={ent['base']:06d}")]
+        paths += [str(self.root / "seen" / f"delta_s={k:06d}")
+                  for k in ent["deltas"]]
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
 
     def read_deltas(self, table: str, up_to: int,
                     schema: str | None = None) -> DataFrame | None:
@@ -309,7 +370,8 @@ class InMemorySnapshotStorage:
     def commit(self, s: int, tables: dict[str, DataFrame],
                extra: dict | None = None,
                reuse: dict[str, int] | None = None,
-               delta_frontier: bool = False) -> dict:
+               delta_frontier: bool = False,
+               delta_seen: bool = True) -> dict:
         lineage: dict[str, dict] = {}
         for name, prev in (reuse or {}).items():
             lineage[name] = self._manifests[prev]["tables"][name]
@@ -324,9 +386,23 @@ class InMemorySnapshotStorage:
                 prev_f = self._manifests[s - 1]["tables"]["frontier"]
                 lineage["frontier"]["base"] = prev_f["base"]
                 lineage["frontier"]["deltas"] = [*prev_f["deltas"], s]
+                lineage["frontier"]["delta_rows"] = \
+                    prev_f.get("delta_rows", 0) + lineage["frontier"]["rows"]
             else:
                 lineage["frontier"]["base"] = s
                 lineage["frontier"]["deltas"] = []
+                lineage["frontier"]["delta_rows"] = 0
+        if "seen" in tables:
+            if delta_seen and (s - 1) in self._manifests:
+                prev_s = self._manifests[s - 1]["tables"]["seen"]
+                lineage["seen"]["base"] = prev_s["base"]
+                lineage["seen"]["deltas"] = [*prev_s["deltas"], s]
+                lineage["seen"]["total_rows"] = \
+                    prev_s.get("total_rows", 0) + lineage["seen"]["rows"]
+            else:
+                lineage["seen"]["base"] = s
+                lineage["seen"]["deltas"] = []
+                lineage["seen"]["total_rows"] = lineage["seen"]["rows"]
         manifest = {"superstep": s, "committed_at": time.time(),
                     "tables": lineage, **(extra or {})}
         self._manifests[s] = manifest
@@ -346,7 +422,17 @@ class InMemorySnapshotStorage:
         df = self._df("frontier", base)
         for k in deltas:
             df = df.unionByName(self._df("frontier", k))
-        return fold_frontier(df, base, bool(deltas))
+        return fold_frontier(df, base, bool(deltas),
+                             delta_rows=ent.get("delta_rows"))
+
+    def read_seen(self, s: int) -> DataFrame | None:
+        ent = self._manifests[s]["tables"].get("seen")
+        if ent is None:
+            return None
+        df = self._df("seen", ent["base"])
+        for k in ent["deltas"]:
+            df = df.unionByName(self._df("seen", k))
+        return df
 
     def read_deltas(self, table: str, up_to: int,
                     schema: str | None = None) -> DataFrame | None:
