@@ -85,7 +85,11 @@ def build_spark(cpus: int):
     # frontier delta commits + pre-write cache materialization.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, cpus))))
-    maxpart = os.environ.get("SPARK_GRAFT_MAXPART", "134217728")
+    # 16 MiB splits: the fixture corpus is ONE parquet file, and the
+    # default 128 MiB would give it fewer input partitions than cores —
+    # serializing the scan and every stage fused onto it.  Real crawl
+    # inputs are thousands of files; this only compensates the fixture.
+    maxpart = os.environ.get("SPARK_GRAFT_MAXPART", "16777216")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"remilia-bench-{cpus}")
@@ -94,7 +98,11 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        # single-JVM local mode: driver heap IS the executor heap — size it
+        # like a worker node so the pinned pages cache + per-superstep
+        # checkpoint blocks never evict each other (the box has 128 GiB)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if evlog:
@@ -115,6 +123,11 @@ def bench_crawl(spark, cdir: Path) -> dict:
         bucket_capacity=1_000_000, fill_quantum=1_000_000,
         initial_tokens=1_000_000,
         shuffle_partitions=max(8, CPUS),
+        # bucketed fetch (Iceberg bucket-transform stand-in): pages are
+        # shuffled once onto B buckets and pinned; the bucket count also
+        # sets the parse stage's parallelism, so keep it a multiple of
+        # the largest core count the scaling bench compares
+        fetch_buckets=int(os.environ.get("SPARK_GRAFT_FETCH_BUCKETS", "64")),
     )
     state = tempfile.mkdtemp(prefix="remilia_bench_state_")
     t0 = time.monotonic()

@@ -32,8 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # floor (~4-6s of job scheduling + commit latency at ANY core count) is
 # paid ~5 times instead of ~10, and each wave carries 100k+ pages of
 # parse/canonicalize/shuffle work that actually parallelizes.
-BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000")
-BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "20000")
+BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000")
+BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "40000")
 BENCH_DEPTH = os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "4")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2,8")
 N_LOW, N_HIGH = (int(x) for x in SCALE.split(","))

@@ -59,6 +59,17 @@ class CrawlConfig:
     seen_compact_every: int = 16
     shuffle_partitions: int = 32
     rank_partitions: int = 32          # range partitions for global ranking
+    # Iceberg-style bucketed fetch: pre-shuffle + persist the pages table
+    # ONCE on pmod(xxhash64(url), B) and join each wave bucket-locally —
+    # only the wave (O(wave rows)) moves per superstep; pages never
+    # re-shuffle and no driver-side broadcast of a 10^5..10^8-row wave is
+    # built.  On a real cluster this is the `bucket(B, url_hash)` Iceberg
+    # partition transform + storage-partitioned join; locally it is a
+    # repartition + persist whose partitioning the planner reuses
+    # (requires spark.sql.requireAllClusterKeysForCoPartition=false, set
+    # by the engine).  None = per-wave broadcast/shuffle join (fine for
+    # small corpora and unit tests; identical results either way).
+    fetch_buckets: int | None = None
     # waves at or below this size rank discoveries with a plain global
     # window (one small shuffle, no extra action); larger waves use the
     # range-partitioned scalable rank — both produce identical values

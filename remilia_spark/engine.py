@@ -115,6 +115,20 @@ class Engine:
             if state_dir is None:
                 raise ValueError("pass state_dir or a storage instance")
             storage = ParquetSnapshotStorage(self.spark, state_dir)
+        pages_pinned = None
+        if cfg.fetch_buckets:
+            # Iceberg bucket-transform stand-in: shuffle pages ONCE onto
+            # pmod(xxhash64(url), B) and pin; every superstep's fetch join
+            # is then bucket-local (see config.fetch_buckets).  The subset
+            # co-partition needs this conf (runtime SQL conf, session-wide).
+            self.spark.conf.set(
+                "spark.sql.requireAllClusterKeysForCoPartition", "false")
+            from pyspark.sql import functions as F2
+            b = F2.pmod(F2.xxhash64("url"),
+                        F2.lit(cfg.fetch_buckets)).cast("int")
+            pages = pages.withColumn("_fetch_bucket", b) \
+                .repartition(cfg.fetch_buckets, "_fetch_bucket").persist()
+            pages_pinned = pages
         last = storage.last_committed() if resume else None
         log_sink = _RunLogSink(state_dir, resume)
         if last is None:
@@ -184,4 +198,6 @@ class Engine:
             # next head comes back with the superstep's committed metrics —
             # no frontier_head Spark job between busy supersteps
             head = stats["head_next"]
+        if pages_pinned is not None:
+            pages_pinned.unpersist()
         return run

@@ -239,9 +239,26 @@ def run_superstep(
     wave_keyed = wave.select(*FRONTIER_COLS, "host_rank", "avail")
     for hook in pre_fetch_hooks or ():  # R13: request-hook chain
         wave_keyed = hook(wave_keyed)
-    wave_join = F.broadcast(wave_keyed) \
-        if n_eligible <= cfg.broadcast_wave_max else wave_keyed
-    hits = pages.select("url", "html").join(wave_join, "url", "inner")
+    # only the parse stage's columns ride through the fetch join — the
+    # other wave consumers (retry/misses/metrics) join the checkpointed
+    # wave directly, so the join/broadcast payload stays minimal
+    wave_fetch = wave_keyed.select("url", "url_hash", "depth",
+                                   "discovery_order", "host_rank")
+    if cfg.fetch_buckets:
+        # bucketed fetch (see config): pages arrive pre-partitioned +
+        # persisted on _fetch_bucket; repartitioning the wave the same way
+        # makes the join bucket-local — pages never move, no driver-built
+        # broadcast of the wave (at 10^8-row waves there cannot be one)
+        b = F.pmod(F.xxhash64("url"), F.lit(cfg.fetch_buckets)).cast("int")
+        wave_b = wave_fetch.withColumn("_fetch_bucket", b) \
+            .repartition(cfg.fetch_buckets, "_fetch_bucket")
+        hits = pages.select("_fetch_bucket", "url", "html") \
+            .join(wave_b, ["_fetch_bucket", "url"], "inner") \
+            .drop("_fetch_bucket")
+    else:
+        wave_join = F.broadcast(wave_fetch) \
+            if n_eligible <= cfg.broadcast_wave_max else wave_fetch
+        hits = pages.select("url", "html").join(wave_join, "url", "inner")
 
     # ---- parse (R19) + results --------------------------------------------
     parsed = hits.select(
@@ -251,6 +268,7 @@ def run_superstep(
     for hook in post_parse_hooks or ():  # R14: response-hook chain
         parsed = hook(parsed)
     parsed = parsed.localCheckpoint(eager=True)  # one parse pass, ever
+    t_parse = time.monotonic()
 
     results = parsed.select(
         F.lit(s).cast("int").alias("superstep"),
@@ -286,6 +304,11 @@ def run_superstep(
         )
         .localCheckpoint(eager=True)
     )
+    # the checkpoint makes this count a ~free cached-block job; it feeds
+    # the empty-discovery shortcut below AND the metrics totals (dropping
+    # one single-row aggregate + crossJoin from the metrics plan)
+    n_cand = cand.count()
+    t_cand = time.monotonic()
 
     rank_cleanup: list = []
     seen = storage.read_seen(s)
@@ -295,7 +318,12 @@ def run_superstep(
     # the running total rides in the manifest (one read, not O(s) scans)
     n_seen = man_s.get("seen", {}).get("total_rows", 0)
     bloom_tbl = storage.read_snapshot("bloom", s) if use_bloom else None
-    if seen is None:
+    if n_cand == 0:
+        # depth-capped / no-link supersteps: the whole discovery pipeline
+        # (bloom split, seen anti-join, robots, rank, checkpoint) would be
+        # 4+ latency-bound jobs over zero rows — skip it outright
+        fresh = cand
+    elif seen is None:
         fresh = cand
     elif use_bloom and n_seen >= cfg.bloom_min_seen:
         # bloom prefilter (§4.2): only 'maybe seen' candidates (true dupes
@@ -310,25 +338,30 @@ def run_superstep(
     else:
         fresh = cand.join(seen.select("url_hash", "url"),
                           ["url_hash", "url"], "left_anti")
-    fresh = with_robots_state(fresh, robots)
-    rank_keys = ["parent_order", "link_index", "url_hash"]
-    if n_eligible <= cfg.rank_small_wave:  # upper bound on the wave size
-        w = Window.orderBy(*rank_keys)
-        fresh = fresh.withColumn(
-            "discovery_order",
-            (F.lit(max_order + 1) + F.row_number().over(w) - 1).cast("long"))
+    if n_cand > 0:
+        fresh = with_robots_state(fresh, robots)
+        rank_keys = ["parent_order", "link_index", "url_hash"]
+        if n_eligible <= cfg.rank_small_wave:  # upper bound on wave size
+            w = Window.orderBy(*rank_keys)
+            fresh = fresh.withColumn(
+                "discovery_order",
+                (F.lit(max_order + 1) + F.row_number().over(w) - 1)
+                .cast("long"))
+        else:
+            fresh = global_rank(fresh, rank_keys, "discovery_order",
+                                start=max_order + 1,
+                                num_partitions=cfg.rank_partitions,
+                                cleanup=rank_cleanup)
+        new_rows = fresh.select(
+            "url", "url_hash", "host", "depth", "discovery_order",
+            "parent_hash", "link_index",
+            F.lit(0).alias("attempt"),
+            F.lit(s + 1).alias("next_eligible"),
+            _insert_state(cfg).alias("state"),
+        ).localCheckpoint(eager=True)
     else:
-        fresh = global_rank(fresh, rank_keys, "discovery_order",
-                            start=max_order + 1,
-                            num_partitions=cfg.rank_partitions,
-                            cleanup=rank_cleanup)
-    new_rows = fresh.select(
-        "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
-        "link_index",
-        F.lit(0).alias("attempt"),
-        F.lit(s + 1).alias("next_eligible"),
-        _insert_state(cfg).alias("state"),
-    ).localCheckpoint(eager=True)
+        from .storage import FRONTIER_SCHEMA
+        new_rows = spark.createDataFrame([], FRONTIER_SCHEMA)
 
     seen_delta = new_rows.select(
         "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
@@ -395,7 +428,6 @@ def run_superstep(
           ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
            "wall_ms", "retry_pending", "failed_terminal")],
     )
-    cand_agg = cand.agg(F.count(F.lit(1)).alias("_emitted"))
     new_agg = new_rows.agg(
         F.count(F.lit(1)).alias("_new"),
         F.sum((F.col("state") == "filtered").cast("long")).alias("_blocked"))
@@ -429,13 +461,13 @@ def run_superstep(
            "wall_ms", "retry_pending", "failed_terminal")],
     )
     totals = (
-        cand_agg.crossJoin(new_agg).crossJoin(retry_agg).crossJoin(wave_agg)
+        new_agg.crossJoin(retry_agg).crossJoin(wave_agg)
         .select(
             F.lit(s).cast("int").alias("superstep"),
             F.lit(-1).alias("partition_id"),
             F.col("_wave").cast("long").alias("rows_in"),
-            F.col("_emitted").cast("long").alias("rows_emitted"),
-            (F.col("_emitted") - F.col("_new")).cast("long").alias("deduped"),
+            F.lit(n_cand).cast("long").alias("rows_emitted"),
+            (F.lit(n_cand) - F.col("_new")).cast("long").alias("deduped"),
             F.coalesce(F.col("_blocked"), F.lit(0)).cast("long")
              .alias("robots_blocked"),
             (F.lit(n_eligible) - F.col("_wave")).cast("long")
@@ -533,6 +565,11 @@ def run_superstep(
         # (parse, canonicalize, dedup, rank) / the commit's table writes
         "t_wave": round(t_wave - t_plan, 2),
         "t_mat": round(t_mat - t_wave, 2),
+        # t_mat sub-phases: parse ckpt / candidate canonicalize+dedup ckpt
+        # / rank + seen anti-join + new_rows ckpt (+ metric plan build)
+        "t_parse": round(t_parse - t_wave, 2),
+        "t_cand": round(t_cand - t_parse, 2),
+        "t_rank": round(t_mat - t_cand, 2),
         "t_commit": round(t_commit - t_mat, 2),
         "bloom_keys_per_bucket": round(bloom_keys_per_bucket, 1),
         "bloom_saturated": bloom_saturated,
