@@ -56,7 +56,11 @@ def _assert_match(run, want, cfg):
     # waves take at 10^10 scale) — values must equal the oracle's exactly
     CrawlConfig(max_depth=2, max_supersteps=40, rank_small_wave=0,
                 rank_partitions=4),
-], ids=["two-layer", "deep", "tight-budget", "wave-cap", "scalable-rank"])
+    # bucketed fetch join (Iceberg bucket-transform stand-in) — identical
+    # results to the broadcast fetch path
+    CrawlConfig(max_depth=2, max_supersteps=40, fetch_buckets=4),
+], ids=["two-layer", "deep", "tight-budget", "wave-cap", "scalable-rank",
+        "bucketed-fetch"])
 def test_engine_matches_oracle(spark, tiny_corpus, tmp_path, cfg):
     c, corpus_dir = tiny_corpus
     pages, seeds, robots = _load(spark, corpus_dir)
