@@ -344,13 +344,26 @@ def q_embed_cosine_topk(spark, sf):
 # engines and rounded OUT of the result (the cosine_topk precedent) so the
 # value hash matches bit-for-bit on id/rank columns.  Recall of the LSH
 # path vs exact cosine_topk is additionally gated by tests/test_ann_recall.
+def _check_ann_fixture(n: int, dim: int) -> None:
+    """The LSH oracle SQL hardcodes the fixture shape (_ANN_N/_ANN_DIM →
+    plane count + literal tensor); a changed fixture must fail loudly here,
+    not as a baffling oracle hash mismatch."""
+    if n != _ANN_N or dim != _ANN_DIM:
+        raise AssertionError(
+            f"embeddings fixture changed: n={n}, dim={dim} but the LSH "
+            f"oracle SQL is generated for n={_ANN_N}, dim={_ANN_DIM} — "
+            f"update _ANN_N/_ANN_DIM in __spark_entry__.py")
+
+
 def q_embed_ann_lsh(spark, sf):
     emb = _read(spark, sf, "embeddings")
     first = emb.select("embedding").first()
     dim = len(first["embedding"])
+    n = emb.count()
+    _check_ann_fixture(n, dim)
     out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10),
                               dim=dim, k=5, planes=None, tables=8,
-                              n_corpus=emb.count())
+                              n_corpus=n)
     return out.select("query_id", "neighbor_id",
                       F.col("rank").cast("long").alias("nn_rank"))
 
@@ -358,6 +371,7 @@ def q_embed_ann_lsh(spark, sf):
 def q_embed_near_dup(spark, sf):
     emb = _read(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    _check_ann_fixture(emb.count(), dim)
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.48 at
     # dim 64), so "near-dup" here means the top of that distribution
     out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
@@ -368,6 +382,84 @@ def q_embed_near_dup(spark, sf):
 
 def q_crawl_flagship(spark, sf):
     return flagship_crawl(spark, sf)
+
+
+# media fixture shape: every image is W x H RGB with pixel channels pure
+# integer arithmetic of (doc_id, x, y), PPM-encoded in Spark and decoded
+# back by the REAL pure-Python codec (datapipe/codecs.py) — so the oracle
+# can recompute the luminance means analytically in SQL.  W*H divisible by
+# _MEDIA_DIM keeps the chunking a plain i // (W*H/dim).
+_MEDIA_W, _MEDIA_H, _MEDIA_DIM, _MEDIA_N = 16, 12, 4, 64
+
+
+def q_media_features(spark, sf):
+    """Multimodal path end-to-end: binary media column -> real PPM decode
+    -> per-chunk luminance features, all through mapInPandas (Arrow)."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_auto, encode_ppm
+
+    W, H, DIM = _MEDIA_W, _MEDIA_H, _MEDIA_DIM
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _MEDIA_N).select("doc_id")
+
+    def gen(batches):
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = np.stack([
+                    (did * 7 + x * 3 + y * 5) % 256,
+                    (did * 11 + x * 13 + y * 2) % 256,
+                    (did * 3 + x + y * 17) % 256,
+                ], axis=-1).astype(np.uint8)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "image",
+                "payload": payloads, "width": W, "height": H,
+                "duration_ms": 0})
+
+    media = d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=DIM, decoder=decode_auto)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("feature").alias("chunk", "f")
+    ).select(
+        "media_id",
+        F.col("chunk").cast("long").alias("chunk"),
+        # feature is float32; cast to double BEFORE rounding so both
+        # engines round the identical float32-exact double
+        F.round(F.col("f").cast("double"), 6).alias("lum_mean"),
+        "n_bytes")
+
+
+def _media_features_oracle() -> str:
+    w, h, dim, n = _MEDIA_W, _MEDIA_H, _MEDIA_DIM, _MEDIA_N
+    chunk_len = (w * h) // dim
+    # PPM P6 size: header "P6\n<w> <h>\n255\n" + 3 bytes/pixel
+    n_bytes = len(b"P6\n%d %d\n255\n" % (w, h)) + w * h * 3
+    return f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {n}),
+        px AS (
+          SELECT d.doc_id, y.y * {w} + x.x AS i,
+                 0.299 * ((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256)
+                 + 0.587 * ((d.doc_id * 11 + x.x * 13 + y.y * 2) % 256)
+                 + 0.114 * ((d.doc_id * 3 + x.x + y.y * 17) % 256) AS lum
+          FROM d
+          CROSS JOIN (SELECT unnest(range(0, {w})) AS x) x
+          CROSS JOIN (SELECT unnest(range(0, {h})) AS y) y),
+        ch AS (
+          SELECT doc_id, i // {chunk_len} AS chunk,
+                 SUM(lum) / COUNT(*) AS m
+          FROM px GROUP BY doc_id, i // {chunk_len})
+        SELECT doc_id AS media_id,
+               CAST(chunk AS BIGINT) AS chunk,
+               ROUND(CAST(CAST(m / 255.0 AS REAL) AS DOUBLE), 6) AS lum_mean,
+               CAST({n_bytes} AS BIGINT) AS n_bytes
+        FROM ch"""
 
 
 # Embedding-LSH oracle: the driver's correctness gate (sf0.01) and the
@@ -461,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
+        "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -744,4 +837,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_ann_lsh": _ann_lsh_oracle(),
         "embed_near_dup": _near_dup_oracle(),
+        "media_features": _media_features_oracle(),
     }

@@ -31,6 +31,57 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
 
 
+def _burn(n):  # module-level: ProcessPoolExecutor must pickle it
+    import hashlib
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h
+
+
+def _probe() -> float:
+    """Ambient-capacity snapshot (hash-burn units/s), ~1s.  The host is
+    multi-tenant with 2-4x throughput swings over minutes; every timed
+    query is bracketed by two probes so a time taken during a tenancy
+    storm is detected (and retried) instead of committed as evidence —
+    round 3 shipped a 60.8s minhash_dedup that was really 6.7s."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = min(CPUS, os.cpu_count() or CPUS)
+    t0 = time.monotonic()
+    with ProcessPoolExecutor(n) as ex:
+        list(ex.map(_burn, [120_000] * n))
+    return n / (time.monotonic() - t0)
+
+
+MAX_PROBE_DRIFT = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_DRIFT", "0.2"))
+MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+
+
+def timed(name: str, fn, probes: dict):
+    """Run ``fn`` bracketed by ambient probes; retry (up to MAX_RETRIES)
+    while the bracket drifts more than MAX_PROBE_DRIFT, keep the attempt
+    with the quietest bracket.  Returns (seconds, fn result)."""
+    best = None
+    for attempt in range(MAX_RETRIES + 1):
+        p0 = _probe()
+        t0 = time.monotonic()
+        result = fn()
+        dt = time.monotonic() - t0
+        p1 = _probe()
+        drift = abs(p1 - p0) / max(1e-9, min(p0, p1))
+        rec = {"sec": round(dt, 3), "probe_before": round(p0, 1),
+               "probe_after": round(p1, 1), "drift": round(drift, 3),
+               "attempts": attempt + 1}
+        if best is None or drift < best[0]["drift"]:
+            best = (rec, result)
+        if drift <= MAX_PROBE_DRIFT:
+            break
+    best[0]["attempts"] = attempt + 1
+    probes[name] = best[0]
+    return best[0]["sec"], best[1]
+
+
 def _sf_of(path: str) -> float:
     name = Path(path).name
     try:
@@ -126,8 +177,13 @@ def bench_crawl(spark, cdir: Path) -> dict:
         # bucketed fetch (Iceberg bucket-transform stand-in): pages are
         # shuffled once onto B buckets and pinned; the bucket count also
         # sets the parse stage's parallelism, so keep it a multiple of
-        # the largest core count the scaling bench compares
+        # the largest core count the scaling bench compares.  The engine
+        # only takes this path when the corpus exceeds min_pages — at the
+        # 20k-page fixture the broadcast join is 1.7x faster (r3's bench
+        # regression); the scaling bench forces bucketing via the env var.
         fetch_buckets=int(os.environ.get("SPARK_GRAFT_FETCH_BUCKETS", "64")),
+        fetch_bucket_min_pages=int(
+            os.environ.get("SPARK_GRAFT_FETCH_MIN_PAGES", "2000000")),
     )
     state = tempfile.mkdtemp(prefix="remilia_bench_state_")
     t0 = time.monotonic()
@@ -232,16 +288,19 @@ def main() -> None:
     cdir = corpus_dir()
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    probes: dict = {}
     try:
-        crawl = bench_crawl(spark, cdir)
+        _, crawl = timed("crawl", lambda: bench_crawl(spark, cdir), probes)
         queries = {"crawl": round(crawl["sec"], 3)}
         if not crawl_only:
-            queries.update({
-                "minhash_dedup": round(bench_minhash(spark), 3),
-                "doc_stats": round(bench_doc_stats(spark), 3),
-                "embed_topk": round(bench_embed_topk(spark), 3),
-                "frontier_ops": round(bench_frontier_ops(spark), 3),
-            })
+            for name, fn in (
+                ("minhash_dedup", bench_minhash),
+                ("doc_stats", bench_doc_stats),
+                ("embed_topk", bench_embed_topk),
+                ("frontier_ops", bench_frontier_ops),
+            ):
+                sec, _ = timed(name, lambda fn=fn: fn(spark), probes)
+                queries[name] = sec
     finally:
         spark.stop()
     total = round(sum(queries.values()), 3)
@@ -250,6 +309,7 @@ def main() -> None:
         "value": round(crawl["urls_per_sec"], 1),
         "unit": "sec",
         "queries": queries,
+        "probes": probes,
         "sf": SF,
         "cpus": CPUS,
         "total_sec": total,

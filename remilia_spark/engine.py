@@ -116,20 +116,39 @@ class Engine:
                 raise ValueError("pass state_dir or a storage instance")
             storage = ParquetSnapshotStorage(self.spark, state_dir)
         pages_pinned = None
-        if cfg.fetch_buckets:
+        restore_conf = None
+        use_buckets = bool(cfg.fetch_buckets)
+        if use_buckets and cfg.fetch_bucket_min_pages:
+            # size-adaptive fetch path: below the crossover the broadcast
+            # join beats the one-time bucket shuffle + per-wave repartition
+            # (see config.fetch_bucket_min_pages).  One zero-column count
+            # job at startup; identical results on either path.
+            use_buckets = pages.count() >= cfg.fetch_bucket_min_pages
+        if use_buckets:
             # Iceberg bucket-transform stand-in: shuffle pages ONCE onto
             # pmod(xxhash64(url), B) and pin; every superstep's fetch join
             # is then bucket-local (see config.fetch_buckets).  The subset
-            # co-partition needs this conf (runtime SQL conf, session-wide).
-            self.spark.conf.set(
-                "spark.sql.requireAllClusterKeysForCoPartition", "false")
+            # co-partition needs this conf (runtime SQL conf — saved and
+            # restored so the session isn't mutated past the run).
+            conf_key = "spark.sql.requireAllClusterKeysForCoPartition"
+            restore_conf = self.spark.conf.get(conf_key, None)
+            self.spark.conf.set(conf_key, "false")
             from pyspark.sql import functions as F2
             b = F2.pmod(F2.xxhash64("url"),
                         F2.lit(cfg.fetch_buckets)).cast("int")
             pages = pages.withColumn("_fetch_bucket", b) \
                 .repartition(cfg.fetch_buckets, "_fetch_bucket").persist()
             pages_pinned = pages
+        elif cfg.fetch_buckets:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, fetch_buckets=None)
         last = storage.last_committed() if resume else None
+        if last is not None and hasattr(storage, "migrate_legacy_seen"):
+            # pre-r3 checkpoints recorded seen without base/deltas chain
+            # keys — fold them into the current manifest format once
+            ent = storage.manifest(last)["tables"].get("seen")
+            if ent is not None and "base" not in ent:
+                storage.migrate_legacy_seen(last)
         log_sink = _RunLogSink(state_dir, resume)
         if last is None:
             # fresh run into a dirty state_dir: wipe it — otherwise stale
@@ -157,47 +176,56 @@ class Engine:
             else cfg.max_supersteps
         run = CrawlRun(storage=storage, last_superstep=last)
         s = last
-        head = frontier_head(storage, s)
-        while s < limit:
-            # done when the committed frontier carries no pending rows
-            # (reference analogue: channels drained, pipeline.go:142-158)
-            if head["pending"] == 0:
-                break
-            eligible = sum(c for k, c in head["hist"].items() if k <= s)
-            if eligible == 0:
-                # every pending row is backing off: fast-forward the clock
-                # with pure manifest-alias commits — zero Spark jobs
-                next_s = min(k for k in head["hist"] if k > s)
-                next_s = min(next_s, limit)
-                reuse_keys = ["frontier", "budgets", "seen"]
-                if "bloom" in storage.manifest(s)["tables"]:
-                    reuse_keys.append("bloom")
-                for t in range(s, next_s):
-                    stats = {"superstep": t, "pending": head["pending"],
-                             "eligible": 0, "wave": 0, "fetched": 0,
-                             "discovered": 0,
-                             "pending_after": head["pending"], "idle": True}
-                    storage.commit(t + 1, {}, extra={"stats": stats},
-                                   reuse={k: s for k in reuse_keys})
-                    run.stats.append(stats)
-                    log_sink.write(stats)
-                s = next_s
+        try:
+            head = frontier_head(storage, s)
+            while s < limit:
+                # done when the committed frontier carries no pending rows
+                # (reference analogue: channels drained, pipeline.go:142-158)
+                if head["pending"] == 0:
+                    break
+                eligible = sum(c for k, c in head["hist"].items() if k <= s)
+                if eligible == 0:
+                    # every pending row is backing off: fast-forward the
+                    # clock with pure manifest-alias commits — no Spark jobs
+                    next_s = min(k for k in head["hist"] if k > s)
+                    next_s = min(next_s, limit)
+                    reuse_keys = ["frontier", "budgets", "seen"]
+                    if "bloom" in storage.manifest(s)["tables"]:
+                        reuse_keys.append("bloom")
+                    for t in range(s, next_s):
+                        stats = {"superstep": t, "pending": head["pending"],
+                                 "eligible": 0, "wave": 0, "fetched": 0,
+                                 "discovered": 0,
+                                 "pending_after": head["pending"],
+                                 "idle": True}
+                        storage.commit(t + 1, {}, extra={"stats": stats},
+                                       reuse={k: s for k in reuse_keys})
+                        run.stats.append(stats)
+                        log_sink.write(stats)
+                    s = next_s
+                    run.last_superstep = s
+                    continue
+                stats = run_superstep(self.spark, storage, pages, robots,
+                                      cfg, s,
+                                      layer_fns=layer_fns,
+                                      pre_fetch_hooks=pre_fetch_hooks,
+                                      post_parse_hooks=post_parse_hooks,
+                                      head=head)
+                run.stats.append(stats)
+                log_sink.write(stats)
+                s += 1
                 run.last_superstep = s
-                continue
-            stats = run_superstep(self.spark, storage, pages, robots, cfg, s,
-                                  layer_fns=layer_fns,
-                                  pre_fetch_hooks=pre_fetch_hooks,
-                                  post_parse_hooks=post_parse_hooks,
-                                  head=head)
-            run.stats.append(stats)
-            log_sink.write(stats)
-            s += 1
-            run.last_superstep = s
-            if stats["pending_after"] == 0:
-                break
-            # next head comes back with the superstep's committed metrics —
-            # no frontier_head Spark job between busy supersteps
-            head = stats["head_next"]
-        if pages_pinned is not None:
-            pages_pinned.unpersist()
+                if stats["pending_after"] == 0:
+                    break
+                # next head comes back with the superstep's committed
+                # metrics — no frontier_head job between busy supersteps
+                head = stats["head_next"]
+        finally:
+            if pages_pinned is not None:
+                pages_pinned.unpersist()
+                conf_key = "spark.sql.requireAllClusterKeysForCoPartition"
+                if restore_conf is not None:
+                    self.spark.conf.set(conf_key, restore_conf)
+                else:
+                    self.spark.conf.unset(conf_key)
         return run

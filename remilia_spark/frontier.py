@@ -27,6 +27,7 @@ at 10^10-URL scale, driver round-trips are the scheduler bottleneck.
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Iterable, Iterator
 
@@ -56,14 +57,19 @@ _PARSE_SCHEMA = (
     "host_rank int, links array<string>, text string"
 )
 
-def _parse_batches_factory(layer_fns=None, charset: str = "utf-8"):
+def _parse_batches_factory(layer_fns=None, charset: str = "utf-8",
+                           hdr_cols: tuple[str, ...] = ()):
     """Build the parse-stage mapInPandas fn.
 
     ``layer_fns[depth]`` is a user extractor ``(html_bytes, url) ->
     (hrefs, value)`` — the reference's ``LayerFunc`` callback
     (``remilia.go:170-176``); None slots fall back to the pinned default.
     ``charset`` is the reference's optional charset transformer
-    (``client.go:228-233``) applied before parse.
+    (``client.go:228-233``) applied before parse.  ``hdr_cols`` are the
+    request-header columns added by pre-fetch hooks (``hdr_*``, string) —
+    passed through so post-parse hooks can read the request headers of
+    the response they transform (the reference's response hooks see the
+    originating request, client.go:235-253).
     """
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,7 +84,7 @@ def _parse_batches_factory(layer_fns=None, charset: str = "utf-8"):
                 links.append(list(ls))
                 texts.append(tx)
             out = pdf[["url", "url_hash", "depth", "discovery_order",
-                       "host_rank"]].copy()
+                       "host_rank", *hdr_cols]].copy()
             out["links"] = links
             out["text"] = texts
             yield out
@@ -170,6 +176,16 @@ def frontier_head(storage: ParquetSnapshotStorage, s: int) -> dict:
 
 
 
+def _coalesce_for_write(df: DataFrame, est_rows: int, cap: int) -> DataFrame:
+    """Bound a commit write's file count from a driver-known row estimate
+    (~250k rows/file).  Fixture-scale supersteps otherwise emit 30-100
+    near-empty files per table, and their task dispatch + footer lineage
+    reads dominate t_commit.  coalesce is narrow (no shuffle); at real
+    scale the estimate grows and this caps out at the configured
+    parallelism, so big writes keep their partitioning."""
+    return df.coalesce(max(1, min(cap, est_rows // 250_000 + 1)))
+
+
 def run_superstep(
     spark: SparkSession,
     storage: ParquetSnapshotStorage,
@@ -239,11 +255,15 @@ def run_superstep(
     wave_keyed = wave.select(*FRONTIER_COLS, "host_rank", "avail")
     for hook in pre_fetch_hooks or ():  # R13: request-hook chain
         wave_keyed = hook(wave_keyed)
+    # request-header columns from the hooks (R15) ride through fetch +
+    # parse so post-parse hooks can read them; must be string-typed
+    hdr_cols = tuple(c for c in wave_keyed.columns if c.startswith("hdr_"))
     # only the parse stage's columns ride through the fetch join — the
     # other wave consumers (retry/misses/metrics) join the checkpointed
     # wave directly, so the join/broadcast payload stays minimal
     wave_fetch = wave_keyed.select("url", "url_hash", "depth",
-                                   "discovery_order", "host_rank")
+                                   "discovery_order", "host_rank",
+                                   *hdr_cols)
     if cfg.fetch_buckets:
         # bucketed fetch (see config): pages arrive pre-partitioned +
         # persisted on _fetch_bucket; repartitioning the wave the same way
@@ -261,10 +281,12 @@ def run_superstep(
         hits = pages.select("url", "html").join(wave_join, "url", "inner")
 
     # ---- parse (R19) + results --------------------------------------------
+    parse_schema = _PARSE_SCHEMA + "".join(f", {c} string" for c in hdr_cols)
     parsed = hits.select(
-        "url", "url_hash", "depth", "discovery_order", "host_rank", "html"
-    ).mapInPandas(_parse_batches_factory(layer_fns, cfg.charset),
-                  _PARSE_SCHEMA)
+        "url", "url_hash", "depth", "discovery_order", "host_rank", "html",
+        *hdr_cols
+    ).mapInPandas(_parse_batches_factory(layer_fns, cfg.charset, hdr_cols),
+                  parse_schema)
     for hook in post_parse_hooks or ():  # R14: response-hook chain
         parsed = hook(parsed)
     parsed = parsed.localCheckpoint(eager=True)  # one parse pass, ever
@@ -367,12 +389,18 @@ def run_superstep(
         "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
 
     # ---- state transitions for the wave (R11/R12) -------------------------
+    # one checkpointed left-join tags every wave row hit/miss; without it
+    # the same wave ⋈ parsed join (broadcast build included) replayed
+    # inside the frontier write AND both metrics aggregates of the commit
+    wave_tagged = wave_keyed.join(
+        parsed.select("url").withColumn("_hit", F.lit(True)),
+        "url", "left").localCheckpoint(eager=True)
     fetched_rows = (
-        wave_keyed.join(parsed.select("url"), "url", "inner")
+        wave_tagged.where(F.col("_hit"))
         .select(*[c for c in FRONTIER_COLS if c != "state"],
                 F.lit("fetched").alias("state"))
     )
-    misses = wave_keyed.join(parsed.select("url"), "url", "left_anti")
+    misses = wave_tagged.where(F.col("_hit").isNull())
     nxt = F.col("attempt") + 1
     retry_rows = misses.select(
         "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
@@ -482,17 +510,21 @@ def run_superstep(
     metrics = part_rows.unionByName(totals) \
         .unionByName(hist_wave).unionByName(hist_retry)
     # bloom saturation watchdog (driver math, no Spark job): past the ~1%
-    # design FP point (n* ≈ m/9.6 keys/bucket at 6 hashes) the prefilter
-    # silently degrades toward pass-through — every candidate flagged
-    # "maybe seen" pays the exact anti-join again.  Correctness never
+    # design FP point the prefilter silently degrades toward pass-through —
+    # every candidate flagged "maybe seen" pays the exact anti-join again.
+    # The design-point load n*/m = -ln(1 - p^(1/k))/k keys per bit comes
+    # from FP = (1 - e^(-kn/m))^k solved at p = 1% for the configured hash
+    # count (k = 6 gives the classic m/n ≈ 9.6).  Correctness never
     # depends on the bloom, so the response is visibility: a metrics row
     # (partition_id = -3, rows_in = total keys) + a stats flag telling the
     # operator to re-deploy with more buckets (the bitmap cannot be
     # rebuilt mid-run without false negatives; see config.bloom_*).
     bloom_keys_per_bucket = (n_seen / cfg.bloom_num_buckets) if use_bloom \
         else 0.0
+    _k = max(1, cfg.bloom_num_hashes)
+    _fill = -math.log(1.0 - 0.01 ** (1.0 / _k)) / _k  # keys per bit at 1% FP
     bloom_saturated = use_bloom and \
-        bloom_keys_per_bucket > cfg.bloom_bucket_bits / 9.6
+        bloom_keys_per_bucket > cfg.bloom_bucket_bits * _fill
     if bloom_saturated:
         sat_row = spark.createDataFrame(
             [(s, -3, int(n_seen)) + (None,) * 7],
@@ -505,12 +537,21 @@ def run_superstep(
                     len(man_s.get("seen", {}).get("deltas", ())) + 1
                     >= cfg.seen_compact_every)
     seen_tbl = seen.unionByName(seen_delta) if seen_compact else seen_delta
+    # delta writes have driver-known row bounds — cap their file counts
+    # (compacted bases keep full parallelism: their size is unbounded)
+    cap = max(1, cfg.shuffle_partitions)
+    if not compact:
+        frontier_tbl = _coalesce_for_write(frontier_tbl,
+                                           n_eligible + n_cand, cap)
+    if not seen_compact:
+        seen_tbl = _coalesce_for_write(seen_tbl, n_cand, cap)
     tables = {
         "frontier": frontier_tbl,
-        "budgets": budgets_next,
+        "budgets": budgets_next if not cfg.broadcast_politeness
+        else budgets_next.coalesce(min(cap, 8)),
         "seen": seen_tbl,
-        "results": results,
-        "metrics": metrics,
+        "results": _coalesce_for_write(results, n_eligible, cap),
+        "metrics": metrics.coalesce(1),
     }
     if use_bloom:
         # fold the new keys in; never (re)create a bloom mid-run — a bloom

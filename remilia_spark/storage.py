@@ -133,9 +133,19 @@ def fold_frontier(df: DataFrame, base: int, has_deltas: bool,
 
 
 class ParquetSnapshotStorage:
-    def __init__(self, spark: SparkSession, root: str | Path):
+    def __init__(self, spark: SparkSession, root: str | Path,
+                 gc_keep_commits: int = 8):
+        """``gc_keep_commits``: after a compaction commit, frontier/seen
+        directories not referenced by the last this-many manifests are
+        best-effort deleted (the Iceberg ``expire_snapshots`` analogue —
+        without it a long run leaks one superseded delta dir per
+        superstep).  Resume only ever starts from ``last_committed()``,
+        so keeping a window (not just the head) is purely crash-safety
+        slack.  0 disables GC.  Append-only logs (results/metrics) are
+        never touched — they are the crawl's output."""
         self.spark = spark
         self.root = Path(root)
+        self.gc_keep_commits = gc_keep_commits
         self.root.mkdir(parents=True, exist_ok=True)
 
     # -- commit protocol ----------------------------------------------------
@@ -218,10 +228,16 @@ class ParquetSnapshotStorage:
                 path = self._table_dir(name, s)
             df.write.mode("overwrite").parquet(str(path))
             files = sorted(str(f) for f in path.glob("*.parquet"))
-            parts = {
-                os.path.basename(f): pq.ParquetFile(f).metadata.num_rows
-                for f in files
-            }
+            # footer-only metadata reads; parallel — at 32 shuffle
+            # partitions x 5 tables the serial version was a visible
+            # slice of the per-superstep commit floor
+            if len(files) > 4:
+                with ThreadPoolExecutor(max_workers=8) as fex:
+                    counts = list(fex.map(
+                        lambda f: pq.read_metadata(f).num_rows, files))
+            else:
+                counts = [pq.read_metadata(f).num_rows for f in files]
+            parts = {os.path.basename(f): n for f, n in zip(files, counts)}
             return name, {"path": str(path), "files": parts,
                           "rows": sum(parts.values())}
 
@@ -266,7 +282,45 @@ class ParquetSnapshotStorage:
         tmp = self._manifest_path(s).with_suffix(".json.tmp")
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, self._manifest_path(s))  # atomic publish
+        # a fresh base supersedes the old base + delta chain — GC anything
+        # the recent manifest window no longer references
+        wrote_base = ("frontier" in tables and not delta_frontier) or \
+                     ("seen" in tables and not seen_is_delta)
+        if wrote_base and self.gc_keep_commits:
+            self._gc_stale_dirs(s)
         return manifest
+
+    def _gc_stale_dirs(self, s: int) -> None:
+        """Best-effort delete of frontier/seen state dirs unreferenced by
+        the last ``gc_keep_commits`` manifests (Iceberg expire_snapshots
+        analogue; older manifests lose time-travel, resume never needs
+        them).  Only ``s=``/``delta_s=`` dirs are candidates."""
+        import shutil
+        keep: dict[str, set[str]] = {"frontier": set(), "seen": set(),
+                                     "budgets": set(), "bloom": set()}
+        for k in range(max(0, s - self.gc_keep_commits + 1), s + 1):
+            if not self.has_manifest(k):
+                continue
+            tabs = self.manifest(k)["tables"]
+            for t in keep:
+                ent = tabs.get(t)
+                if ent is None:
+                    continue
+                if "base" in ent:
+                    keep[t].add(f"s={ent['base']:06d}")
+                    keep[t].update(f"delta_s={d:06d}"
+                                   for d in ent.get("deltas", ()))
+                else:  # snapshot / legacy / reused entries: the named path
+                    keep[t].add(Path(ent["path"]).name)
+        for t, names in keep.items():
+            tdir = self.root / t
+            if not tdir.exists():
+                continue
+            for sub in tdir.iterdir():
+                if (sub.is_dir()
+                        and sub.name.split("=")[0] in ("s", "delta_s")
+                        and sub.name not in names):
+                    shutil.rmtree(sub, ignore_errors=True)
 
     def manifest(self, s: int) -> dict:
         return json.loads(self._manifest_path(s).read_text())
@@ -307,10 +361,36 @@ class ParquetSnapshotStorage:
         ent = self.manifest(s)["tables"].get("seen")
         if ent is None:
             return None
+        if "base" not in ent:  # pre-r3 manifest (see migrate_legacy_seen)
+            return self.read_deltas("seen", s, SEEN_SCHEMA)
         paths = [str(self.root / "seen" / f"s={ent['base']:06d}")]
         paths += [str(self.root / "seen" / f"delta_s={k:06d}")
                   for k in ent["deltas"]]
         return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+
+    def migrate_legacy_seen(self, s: int) -> None:
+        """One-time format upgrade: pre-r3 manifests recorded ``seen``
+        without the ``base``/``deltas``/``total_rows`` chain keys (data
+        lived in one ``delta_s=<k>`` dir per commit).  Fold every legacy
+        delta into a fresh base at step ``s`` and republish the manifest,
+        so ``resume=True`` on an old checkpoint keeps working instead of
+        raising KeyError (and the running seen total reads correctly)."""
+        legacy = self.read_deltas("seen", s, SEEN_SCHEMA)
+        if legacy is None:
+            return
+        path = self.root / "seen" / f"s={s:06d}"
+        legacy.write.mode("overwrite").parquet(str(path))
+        files = sorted(str(f) for f in path.glob("*.parquet"))
+        parts = {os.path.basename(f): pq.ParquetFile(f).metadata.num_rows
+                 for f in files}
+        manifest = self.manifest(s)
+        manifest["tables"]["seen"] = {
+            "path": str(path), "files": parts, "rows": sum(parts.values()),
+            "base": s, "deltas": [], "total_rows": sum(parts.values()),
+        }
+        tmp = self._manifest_path(s).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self._manifest_path(s))
 
     def read_deltas(self, table: str, up_to: int,
                     schema: str | None = None) -> DataFrame | None:

@@ -98,6 +98,40 @@ def test_header_and_ua_hooks(spark, tiny_corpus, tmp_path):
     assert "hdr_user_agent" in captured["cols"]
 
 
+def test_headers_consumed_downstream(spark, tiny_corpus, tmp_path):
+    """R15 loop closure: the UA header set by a pre-fetch (request) hook
+    rides through fetch + the distributed parse and is READ by a
+    post-parse (response) hook — reference response hooks see the
+    originating request's headers (client.go:235-253)."""
+    from remilia_spark.api import with_user_agent
+
+    c, corpus_dir = tiny_corpus
+    pages, robots = _load(spark, corpus_dir)
+    rem = Remilia(spark, CrawlConfig(max_attempt=1))
+
+    def tag_by_ua(df):
+        return df.withColumn(
+            "text",
+            F.when(F.col("hdr_user_agent") == "bot/2", F.lit("UA2-SEEN"))
+             .otherwise(F.concat(F.lit("other:"), "text")))
+
+    run = rem.do(rem.url_provider(c.seeds["url"].iloc[0]),
+                 rem.add_layer(), rem.add_layer(),
+                 pages=pages, robots=robots, state_dir=tmp_path / "s",
+                 pre_fetch_hooks=[with_user_agent(lambda: "bot/2")],
+                 post_parse_hooks=[tag_by_ua])
+    texts = [r["text"] for r in run.results().collect()]
+    assert texts and all(t == "UA2-SEEN" for t in texts)
+
+    run2 = rem.do(rem.url_provider(c.seeds["url"].iloc[0]),
+                  rem.add_layer(), rem.add_layer(),
+                  pages=pages, robots=robots, state_dir=tmp_path / "s2",
+                  pre_fetch_hooks=[with_user_agent(lambda: "bot/1")],
+                  post_parse_hooks=[tag_by_ua])
+    texts2 = [r["text"] for r in run2.results().collect()]
+    assert texts2 and all(t.startswith("other:") for t in texts2)
+
+
 def test_provider_validation(spark):
     rem = Remilia(spark)
     with pytest.raises(ValueError):

@@ -58,7 +58,10 @@ def _assert_match(run, want, cfg):
                 rank_partitions=4),
     # bucketed fetch join (Iceberg bucket-transform stand-in) — identical
     # results to the broadcast fetch path
-    CrawlConfig(max_depth=2, max_supersteps=40, fetch_buckets=4),
+    # (min_pages=0 forces bucketing — the size-adaptive default would
+    # pick broadcast at this corpus size)
+    CrawlConfig(max_depth=2, max_supersteps=40, fetch_buckets=4,
+                fetch_bucket_min_pages=0),
 ], ids=["two-layer", "deep", "tight-budget", "wave-cap", "scalable-rank",
         "bucketed-fetch"])
 def test_engine_matches_oracle(spark, tiny_corpus, tmp_path, cfg):
