@@ -368,6 +368,56 @@ def q_embed_ann_lsh(spark, sf):
                       F.col("rank").cast("long").alias("nn_rank"))
 
 
+_IVF_CENTROIDS, _IVF_PROBE = 16, 4
+
+
+def q_embed_ann_ivf(spark, sf):
+    """IVF-partitioned ANN (the non-LSH scale path): deterministic
+    centroids -> cell assignment -> n_probe cell search -> exact re-rank."""
+    emb = _read(spark, sf, "embeddings")
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                              n_centroids=_IVF_CENTROIDS,
+                              n_probe=_IVF_PROBE)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("nn_rank"))
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+          WHERE vec_id < {_IVF_CENTROIDS}),
+        ac AS (
+          SELECT e.vec_id, c.cent_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(c.ce AS DOUBLE[])) DESC,
+                            c.cent_id) AS r
+          FROM embeddings e CROSS JOIN cent c),
+        cells_c AS (SELECT vec_id AS neighbor_id, cent_id FROM ac
+                    WHERE r = 1),
+        cells_q AS (SELECT vec_id AS query_id, cent_id FROM ac
+                    WHERE r <= {_IVF_PROBE} AND vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.neighbor_id
+          FROM cells_q q JOIN cells_c c USING (cent_id)
+          WHERE c.neighbor_id <> q.query_id)
+        SELECT query_id, neighbor_id, nn_rank FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(ce.embedding AS DOUBLE[]),
+                              CAST(qe.embedding AS DOUBLE[])) DESC,
+                            cand.neighbor_id) AS nn_rank
+          FROM cand
+          JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+          JOIN embeddings qe ON qe.vec_id = cand.query_id)
+        WHERE nn_rank <= 5"""
+
+
 def q_embed_near_dup(spark, sf):
     emb = _read(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
@@ -552,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_ann_ivf": q_embed_ann_ivf,
         "embed_near_dup": q_embed_near_dup,
         "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
@@ -836,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE nn_rank <= 5
         """,
         "embed_ann_lsh": _ann_lsh_oracle(),
+        "embed_ann_ivf": _ann_ivf_oracle(),
         "embed_near_dup": _near_dup_oracle(),
         "media_features": _media_features_oracle(),
     }

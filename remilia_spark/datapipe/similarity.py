@@ -169,6 +169,69 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: Voronoi-partition the corpus around a fixed,
+    deterministic centroid set — the ``n_centroids`` smallest ``vec_id``
+    vectors, no k-means iterations, so the index build is a single pass
+    and the DuckDB oracle is exact — then a query searches only its
+    ``n_probe`` nearest cells and re-ranks exactly within them.
+
+    Scale path: assignment scans the corpus once against C broadcast
+    centroids (C ≪ n; one argmax per vector); each query then touches
+    ~n_probe/C of the corpus instead of all of it.  On a real deployment
+    the cell id becomes the table's partition/bucket column so probes
+    prune at the storage layer (Iceberg partition pruning) — the inverted
+    "file" IS the partition.  Ties (vector equidistant from two
+    centroids) break to the smaller centroid id, so cell assignment is
+    total and reproducible.
+    """
+    cent = F.broadcast(corpus.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce")))
+
+    def cells(df: DataFrame, id_col: str, top: int) -> DataFrame:
+        scored = df.select(
+            F.col("vec_id").alias(id_col),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        ).crossJoin(cent).select(
+            id_col, "cent_id",
+            (_dot("v", "ce") / (F.sqrt(_dot("v", "v"))
+                                * F.sqrt(_dot("ce", "ce")))).alias("cos"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("cos"),
+                                               F.asc("cent_id"))
+        return scored.withColumn("_r", F.row_number().over(w)) \
+            .where(F.col("_r") <= top).select(id_col, "cent_id")
+
+    cand = (
+        cells(queries, "query_id", n_probe)
+        .join(cells(corpus, "neighbor_id", 1), "cent_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            (_dot("qv", "cv")
+             / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+             ).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"))
+    )
+
+
 def embedding_near_duplicates(corpus: DataFrame, dim: int,
                               threshold: float = 0.95,
                               planes: int | None = None, tables: int = 8,

@@ -37,6 +37,22 @@ def test_lsh_topk_recall_at_k(spark, emb):
     assert recall >= 0.9, f"recall@{K} = {recall:.3f} (< 0.9)"
 
 
+def test_ivf_topk_recall_at_k(spark, emb):
+    """The IVF cell-probe path (n_probe of n_centroids cells searched)
+    must keep >= 0.7 recall@k vs exact — near-orthogonal synthetic
+    embeddings are the worst case for cell pruning, so the bar is lower
+    than the LSH union's; correctness of what it DOES return is pinned
+    exactly by the embed_ann_ivf DuckDB oracle."""
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = similarity.cosine_topk(emb, queries, k=K)
+    approx = similarity.ivf_topk(emb, queries, k=K, n_centroids=16,
+                                 n_probe=4)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.7, f"IVF recall@{K} = {recall:.3f} (< 0.7)"
+
+
 def test_auto_planes_scales_with_corpus():
     # buckets grow with n: mean bucket size stays ~target instead of n/2^b
     assert similarity.auto_planes(500) == 2
