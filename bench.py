@@ -218,6 +218,7 @@ def bench_crawl(spark, cdir: Path) -> dict:
     # everything the phase walls don't cover: seed commit, frontier_head,
     # driver plan building, manifest I/O, idle/fast-forward commits
     phases["t_other"] = round(dt - sum(phases.values()), 2)
+    phases["t_setup"] = run.setup_sec  # inside t_other: seed commit + head
     return {"sec": dt, "urls_processed": processed, "fetched": fetched,
             "supersteps": len(run.stats), "busy_supersteps": len(busy),
             "order_hash": order_hash, "phases": phases,

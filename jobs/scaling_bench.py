@@ -34,8 +34,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # work that actually parallelizes.  Sized so one low/high pair completes in
 # ~10 min in this sandbox (round-3's 4M default was hours/pair and the
 # bench never ran — the round's biggest miss).
-BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000")
-BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "8000")
+BENCH_PAGES = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "800000")
+BENCH_SEEDS = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "16000")
 BENCH_DEPTH = os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "3")
 SCALE = os.environ.get("SPARK_GRAFT_SCALE", "2,8")
 N_LOW, N_HIGH = (int(x) for x in SCALE.split(","))
@@ -77,6 +77,26 @@ def quick_probe() -> float:
     with ProcessPoolExecutor(N_HIGH) as ex:
         list(ex.map(_burn, [120_000] * N_HIGH))
     return N_HIGH / (time.time() - t0)
+
+
+def hw_ratio_probe() -> float:
+    """How much MORE parallel CPU the host actually delivers at N_HIGH
+    procs vs N_LOW procs, right now (~4s).  The north rule assumes the two
+    cluster sizes differ by exactly 4x in delivered compute; on this
+    shared box the delivered ratio routinely sags to ~2.5-3x (SMT +
+    neighbors), which caps ANY job's measured efficiency at ratio/4
+    regardless of how well the engine scales.  Recorded per pair so the
+    engine's efficiency can be read against the hardware's, never in
+    place of the raw number."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    rates = {}
+    for workers in (N_LOW, N_HIGH):
+        t0 = time.time()
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_burn, [150_000] * workers))
+        rates[workers] = workers / (time.time() - t0)
+    return rates[N_HIGH] / rates[N_LOW]
 
 
 def run_bench(cpus: int, crawl_only: bool = False) -> dict:
@@ -124,23 +144,24 @@ def main() -> int:
     # a fake 0.94 efficiency from low-cold vs high-warm)
     low = run_bench(N_LOW)          # full query table, once per level
     high = run_bench(N_HIGH)
-    pairs = []                      # (lo_parsed, hi_parsed, p_lo, p_hi)
+    pairs = []                      # (lo_parsed, hi_parsed, p_lo, p_hi, hw)
     hashes = {low["crawl_order_hash"], high["crawl_order_hash"]}
     for _ in range(rounds):
         if sum(1 for p in pairs if drift(p[2], p[3]) <= max_drift) \
                 >= want_admissible:
             break  # enough quiet-host pairs collected
+        hw = hw_ratio_probe()
         p_lo = quick_probe()
         lo = run_bench(N_LOW, crawl_only=True)
         p_hi = quick_probe()
         hi = run_bench(N_HIGH, crawl_only=True)
-        pairs.append((lo, hi, p_lo, p_hi))
+        pairs.append((lo, hi, p_lo, p_hi, hw))
         hashes |= {lo["crawl_order_hash"], hi["crawl_order_hash"]}
 
     if not pairs:
         # SPARK_GRAFT_SCALE_ROUNDS=0: fall back to the warm-up pair (no
         # probes bracket it — mark them equal so it reads as admissible)
-        pairs = [(low, high, 1.0, 1.0)]
+        pairs = [(low, high, 1.0, 1.0, None)]
     admissible = [p for p in pairs if drift(p[2], p[3]) <= max_drift]
     used = admissible if admissible else pairs
     def pair_eff(p):
@@ -158,6 +179,24 @@ def main() -> int:
     # in place of, the raw efficiency.
     eff_norm = ((med[1]["value"] / med[3]) / (med[0]["value"] / med[2])) \
         / (N_HIGH / N_LOW)
+    # hardware-delivered ceiling for the median round: the raw efficiency
+    # cannot exceed hw_ratio/4 no matter how well the engine scales, so
+    # the engine's own scaling is eff relative to that ceiling
+    hw = med[4]
+    scale = N_HIGH / N_LOW
+    eff_vs_hw = round(eff / (hw / scale), 3) if hw else None
+
+    def steady_thr(parsed):
+        # steady-state throughput: exclude the one-time setup wall (seed
+        # canonicalize+commit + bloom init + initial head) that amortizes
+        # to zero at production superstep counts (10^4 supersteps vs the
+        # fixture's ~5) but is ~12% of a fixture run at the high level
+        ph = parsed.get("crawl_phases", {})
+        sec = parsed["queries"]["crawl"] - ph.get("t_setup", 0.0)
+        return parsed["crawl_urls_processed"] / max(1e-9, sec)
+
+    eff_steady = round((steady_thr(med[1]) / steady_thr(med[0])) / scale, 3)
+    eff_steady_vs_hw = round(eff_steady / (hw / scale), 3) if hw else None
     ordering_match = len(hashes) == 1  # every run, both levels, all rounds
 
     def phase_row(parsed):
@@ -180,14 +219,20 @@ def main() -> int:
         "cpu_probe_units_per_sec": probe,
         "value": round(eff, 3),
         "value_capacity_normalized": round(eff_norm, 3),
+        "hw_delivered_ratio_median_round": round(hw, 2) if hw else None,
+        "hw_ceiling_on_efficiency": round(hw / scale, 3) if hw else None,
+        "value_vs_hw_ceiling": eff_vs_hw,
+        "value_steady_state": eff_steady,
+        "value_steady_state_vs_hw_ceiling": eff_steady_vs_hw,
         "unit": "ratio",
         "admissible_rounds": len(admissible),
         "max_probe_drift": max_drift,
         "rounds": [{"low": lo["value"], "high": hi["value"],
                     "eff": round(pair_eff(p), 3),
                     "probe_low": round(pl, 1), "probe_high": round(ph, 1),
+                    "hw_ratio": round(hw_r, 2) if hw_r else None,
                     "admissible": drift(pl, ph) <= max_drift}
-                   for p in pairs for lo, hi, pl, ph in [p]],
+                   for p in pairs for lo, hi, pl, ph, hw_r in [p]],
         "median_round": {f"local[{N_LOW}]": med_low,
                          f"local[{N_HIGH}]": med_high},
         "phase_scaling_median_round": phase_scaling,
@@ -233,16 +278,16 @@ def main() -> int:
         "busy supersteps.",
         "",
         "| config | crawl URLs/sec | crawl sec | t_wave | t_mat | "
-        "t_commit | t_other |",
-        "|---|---|---|---|---|---|---|",
+        "t_commit | t_other | t_setup (1-time, in t_other) |",
+        "|---|---|---|---|---|---|---|---|",
         f"| local[{N_LOW}]  | {med_low['urls_per_sec']} | "
         f"{med_low['crawl_sec']} | {med_low.get('t_wave', '?')} | "
         f"{med_low.get('t_mat', '?')} | {med_low.get('t_commit', '?')} | "
-        f"{med_low.get('t_other', '?')} |",
+        f"{med_low.get('t_other', '?')} | {med_low.get('t_setup', '?')} |",
         f"| local[{N_HIGH}] | {med_high['urls_per_sec']} | "
         f"{med_high['crawl_sec']} | {med_high.get('t_wave', '?')} | "
         f"{med_high.get('t_mat', '?')} | {med_high.get('t_commit', '?')} | "
-        f"{med_high.get('t_other', '?')} |",
+        f"{med_high.get('t_other', '?')} | {med_high.get('t_setup', '?')} |",
         "",
         f"Per-phase scaling efficiency, median round: {phase_scaling}",
         "",
@@ -264,6 +309,26 @@ def main() -> int:
         f"ambient CPU probes bracketing its two runs agree within "
         f"{int(max_drift * 100)}% — all rounds with probes: "
         f"{[(r['eff'], r['admissible']) for r in report['rounds']]})",
+        "",
+        f"**Hardware-delivered ceiling (median round): "
+        f"{report['hw_delivered_ratio_median_round']}x** going "
+        f"{N_LOW}→{N_HIGH} processes on a pure-CPU hash burn measured "
+        f"immediately before the pair — i.e. the shared host itself "
+        f"delivered at most {report['hw_ceiling_on_efficiency']} "
+        f"efficiency to ANY perfectly-scaling job in that window "
+        f"(SMT + tenancy; per-round ratios: "
+        f"{[r['hw_ratio'] for r in report['rounds']]}).",
+        "",
+        f"**Engine efficiency vs that hardware ceiling: "
+        f"{report['value_vs_hw_ceiling']}** — raw efficiency divided by "
+        f"the ceiling; **steady-state (one-time setup wall excluded): "
+        f"{report['value_steady_state']}** raw, "
+        f"**{report['value_steady_state_vs_hw_ceiling']}** vs ceiling. "
+        f"Setup (seed canonicalize+commit + bloom init, `t_setup` in the "
+        f"phase table) is paid once per run: ~5 supersteps here vs 10^4+ "
+        f"in production, where it amortizes to zero. The raw number "
+        f"above remains the headline; these locate the gap (host vs "
+        f"engine vs fixture-scale fixed costs).",
         "",
         f"**Capacity-normalized efficiency: {report['value_capacity_normalized']}**"
         " — each run's throughput divided by the ambient-CPU probe taken"

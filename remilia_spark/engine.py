@@ -38,6 +38,7 @@ class CrawlRun:
     storage: ParquetSnapshotStorage
     last_superstep: int
     stats: list[dict] = field(default_factory=list)
+    setup_sec: float = 0.0  # seed canonicalize+commit + initial head wall
 
     def results(self) -> DataFrame | None:
         return self.storage.read_deltas("results", self.last_superstep,
@@ -142,6 +143,8 @@ class Engine:
         elif cfg.fetch_buckets:
             import dataclasses
             cfg = dataclasses.replace(cfg, fetch_buckets=None)
+        import time as _time
+        t_setup = _time.monotonic()
         last = storage.last_committed() if resume else None
         if last is not None and hasattr(storage, "migrate_legacy_seen"):
             # pre-r3 checkpoints recorded seen without base/deltas chain
@@ -178,6 +181,7 @@ class Engine:
         s = last
         try:
             head = frontier_head(storage, s)
+            run.setup_sec = round(_time.monotonic() - t_setup, 2)
             while s < limit:
                 # done when the committed frontier carries no pending rows
                 # (reference analogue: channels drained, pipeline.go:142-158)
