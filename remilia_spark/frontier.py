@@ -44,7 +44,7 @@ from .config import CrawlConfig
 from .extract import extract
 from .ranking import global_rank, grant_wave
 from .robots import with_robots_state
-from .storage import ParquetSnapshotStorage
+from .storage import METRICS_SCHEMA, ParquetSnapshotStorage
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
@@ -186,6 +186,32 @@ def _coalesce_for_write(df: DataFrame, est_rows: int, cap: int) -> DataFrame:
     return df.coalesce(max(1, min(cap, est_rows // 250_000 + 1)))
 
 
+def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
+                    robots: DataFrame | None, cfg: CrawlConfig,
+                    target_s: int) -> DataFrame:
+    """Budget-grant + priority-pop ``eligible`` into the wave for superstep
+    ``target_s``, materialized as an eager local checkpoint.
+
+    Eager local checkpoint, not persist: every downstream action (the
+    parse materialization, 5-6 commit writes, metric aggregates) replans
+    its whole logical tree and re-executes any broadcast exchanges in it.
+    With persist() those plans still carry the full frontier-fold + window
+    lineage, so each superstep paid ~10 actions x (Catalyst + AQE + py4j +
+    broadcast-build) of *driver-only* time — measured 35% of the run with
+    zero tasks running at local[8], the scaling-gate killer (flat wall
+    2->8 cores).  Checkpointing truncates the plan to an in-memory
+    LogicalRDD: one distributed job computes the data, every consumer
+    plans in ~ms.  (State durability is unaffected — the commit still
+    round-trips everything through the storage manifest protocol.)
+    """
+    granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
+                                      target_s), cfg)
+    if cfg.wave_size is not None:
+        granted = granted.orderBy("depth", "host_rank", "discovery_order") \
+                         .limit(cfg.wave_size)
+    return granted.localCheckpoint(eager=True)
+
+
 def run_superstep(
     spark: SparkSession,
     storage: ParquetSnapshotStorage,
@@ -206,11 +232,7 @@ def run_superstep(
     engine loop terminates when ``stats['pending_after'] == 0``.
     """
     t0 = time.monotonic()
-    frontier = storage.read_frontier(s)  # folded current rows (+rev)
-    budgets = storage.read_snapshot("budgets", s)
-
     is_pending = F.col("state") == "pending"
-    is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
     if head is None:
         head = frontier_head(storage, s)
     n_pending = head["pending"]
@@ -231,24 +253,11 @@ def run_superstep(
 
     # ---- budget grant + priority pop (R10) --------------------------------
     t_plan = time.monotonic()
-    eligible = frontier.where(is_eligible)
-    granted = grant_wave(attach_avail(eligible, budgets, robots, cfg, s),
-                         cfg)
-    if cfg.wave_size is not None:
-        granted = granted.orderBy("depth", "host_rank", "discovery_order") \
-                         .limit(cfg.wave_size)
-    # Eager local checkpoint, not persist: every downstream action (the
-    # parse materialization, 5-6 commit writes, metric aggregates) replans
-    # its whole logical tree and re-executes any broadcast exchanges in it.
-    # With persist() those plans still carry the full frontier-fold + window
-    # lineage, so each superstep paid ~10 actions x (Catalyst + AQE + py4j +
-    # broadcast-build) of *driver-only* time — measured 35% of the run with
-    # zero tasks running at local[8], the scaling-gate killer (flat wall
-    # 2->8 cores).  Checkpointing truncates the plan to an in-memory
-    # LogicalRDD: one distributed job computes the data, every consumer
-    # plans in ~ms.  (State durability is unaffected — the commit still
-    # round-trips everything through the storage manifest protocol.)
-    wave = granted.localCheckpoint(eager=True)
+    frontier = storage.read_frontier(s)  # folded current rows (+rev)
+    budgets = storage.read_snapshot("budgets", s)
+    is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
+    wave = _grant_wave_for(frontier.where(is_eligible), budgets,
+                           robots, cfg, s)
     t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
@@ -443,72 +452,76 @@ def run_superstep(
         F.count(F.lit(1)).alias("granted"))
     budgets_next = updated_budgets(budgets, grants, s)
 
-    # ---- metrics: one write computes every remaining statistic ------------
+    # ---- metrics: one bounded aggregate computes every statistic ----------
+    # (src, k1, k2) -> n: src 0 = wave rows (k1 partition id, k2
+    # next_eligible), src 1 = retry rows (k1 = still-pending flag, k2
+    # next_eligible), src 2 = new rows (k1 = robots-filtered flag).  One
+    # shuffle over O(partitions + backoff horizon) groups, collected
+    # driver-side; the committed metrics table is then built locally so its
+    # write is a single-task job with no shuffles.  The old formulation (3
+    # whole-table aggregates + 2 crossJoins + 3 groupBys unioned into one
+    # write plan) ran 4 shuffle stages inside the concurrent commit window
+    # every superstep -- a measured slice of the per-superstep fixed cost.
+    # The collect is bounded: partitions x distinct backoff deadlines.
     wall_ms = int((time.monotonic() - t0) * 1000)  # plan-build time; the
     # write job's own duration lands in the manifest timestamp instead
-    part_rows = wave.groupBy(
-        F.spark_partition_id().alias("partition_id")
-    ).agg(F.count(F.lit(1)).alias("rows_in")).select(
-        F.lit(s).cast("int").alias("superstep"),
-        "partition_id",
-        F.col("rows_in").cast("long"),
-        *[F.lit(None).cast("long").alias(c) for c in
-          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
-           "wall_ms", "retry_pending", "failed_terminal")],
+    grouped = (
+        wave.select(F.lit(0).alias("src"),
+                    F.spark_partition_id().cast("long").alias("k1"),
+                    F.col("next_eligible").cast("long").alias("k2"))
+        .unionByName(retry_rows.select(
+            F.lit(1).alias("src"),
+            (F.col("state") == "pending").cast("long").alias("k1"),
+            F.col("next_eligible").cast("long").alias("k2")))
+        .unionByName(new_rows.select(
+            F.lit(2).alias("src"),
+            (F.col("state") == "filtered").cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2")))
+        .unionByName(wave_tagged.select(
+            F.lit(3).alias("src"),
+            F.col("_hit").isNotNull().cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2")))
+        .groupBy("src", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    new_agg = new_rows.agg(
-        F.count(F.lit(1)).alias("_new"),
-        F.sum((F.col("state") == "filtered").cast("long")).alias("_blocked"))
-    retry_agg = retry_rows.agg(
-        F.sum((F.col("state") == "pending").cast("long")).alias("_retry"),
-        F.sum((F.col("state") == "failed").cast("long")).alias("_failed"))
-    wave_agg = wave.agg(F.count(F.lit(1)).alias("_wave"))
-    # next_eligible histograms piggybacked as metrics rows so the engine
-    # can derive the NEXT superstep's head (pending histogram + max order)
-    # driver-side — no frontier_head Spark job between busy supersteps.
-    # Encoding: partition_id = -1000 - ne for wave rows leaving pending,
-    # -2000 - ne for retry rows re-entering it.
-    hist_wave = wave.groupBy("next_eligible").agg(
-        F.count(F.lit(1)).alias("n")).select(
-        F.lit(s).cast("int").alias("superstep"),
-        (F.lit(-1000) - F.col("next_eligible")).cast("int")
-         .alias("partition_id"),
-        F.col("n").cast("long").alias("rows_in"),
-        *[F.lit(None).cast("long").alias(c) for c in
-          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
-           "wall_ms", "retry_pending", "failed_terminal")],
-    )
-    hist_retry = retry_rows.where(F.col("state") == "pending") \
-        .groupBy("next_eligible").agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(s).cast("int").alias("superstep"),
-        (F.lit(-2000) - F.col("next_eligible")).cast("int")
-         .alias("partition_id"),
-        F.col("n").cast("long").alias("rows_in"),
-        *[F.lit(None).cast("long").alias(c) for c in
-          ("rows_emitted", "deduped", "robots_blocked", "budget_deferred",
-           "wall_ms", "retry_pending", "failed_terminal")],
-    )
-    totals = (
-        new_agg.crossJoin(retry_agg).crossJoin(wave_agg)
-        .select(
-            F.lit(s).cast("int").alias("superstep"),
-            F.lit(-1).alias("partition_id"),
-            F.col("_wave").cast("long").alias("rows_in"),
-            F.lit(n_cand).cast("long").alias("rows_emitted"),
-            (F.lit(n_cand) - F.col("_new")).cast("long").alias("deduped"),
-            F.coalesce(F.col("_blocked"), F.lit(0)).cast("long")
-             .alias("robots_blocked"),
-            (F.lit(n_eligible) - F.col("_wave")).cast("long")
-             .alias("budget_deferred"),
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
-            F.coalesce(F.col("_retry"), F.lit(0)).cast("long")
-             .alias("retry_pending"),
-            F.coalesce(F.col("_failed"), F.lit(0)).cast("long")
-             .alias("failed_terminal"),
-        )
-    )
-    metrics = part_rows.unionByName(totals) \
-        .unionByName(hist_wave).unionByName(hist_retry)
+    part_counts: dict[int, int] = {}
+    wave_hist: dict[int, int] = {}
+    retry_hist: dict[int, int] = {}
+    n_wave = n_retry = n_failed = n_new_rows = n_blocked = n_fetched = 0
+    for r in grouped:
+        k1, k2, n = int(r["k1"]), int(r["k2"]), int(r["n"])
+        if r["src"] == 0:
+            part_counts[k1] = part_counts.get(k1, 0) + n
+            wave_hist[k2] = wave_hist.get(k2, 0) + n
+            n_wave += n
+        elif r["src"] == 3:
+            if k1:
+                n_fetched += n
+        elif r["src"] == 1:
+            if k1:
+                retry_hist[k2] = retry_hist.get(k2, 0) + n
+                n_retry += n
+            else:
+                n_failed += n
+        else:
+            n_new_rows += n
+            if k1:
+                n_blocked += n
+    budget_deferred = n_eligible - n_wave
+    nones = (None,) * 7
+    metrics_rows = [(s, pid, n) + nones
+                    for pid, n in sorted(part_counts.items())]
+    metrics_rows.append((s, -1, n_wave, n_cand, n_cand - n_new_rows,
+                         n_blocked, budget_deferred, wall_ms, n_retry,
+                         n_failed))
+    # next_eligible histograms ride as metrics rows so the engine derives
+    # the NEXT superstep's head driver-side -- no frontier_head Spark job
+    # between busy supersteps.  Encoding: partition_id = -1000 - ne for
+    # wave rows leaving pending, -2000 - ne for retries re-entering it.
+    metrics_rows += [(s, -1000 - ne, n) + nones
+                     for ne, n in sorted(wave_hist.items())]
+    metrics_rows += [(s, -2000 - ne, n) + nones
+                     for ne, n in sorted(retry_hist.items())]
     # bloom saturation watchdog (driver math, no Spark job): past the ~1%
     # design FP point the prefilter silently degrades toward pass-through —
     # every candidate flagged "maybe seen" pays the exact anti-join again.
@@ -526,10 +539,9 @@ def run_superstep(
     bloom_saturated = use_bloom and \
         bloom_keys_per_bucket > cfg.bloom_bucket_bits * _fill
     if bloom_saturated:
-        sat_row = spark.createDataFrame(
-            [(s, -3, int(n_seen)) + (None,) * 7],
-            metrics.schema)
-        metrics = metrics.unionByName(sat_row)
+        metrics_rows.append((s, -3, int(n_seen)) + nones)
+    metrics = spark.createDataFrame(metrics_rows, METRICS_SCHEMA) \
+        .coalesce(1)
 
     # seen compaction: periodically fold base + delta chain + this delta
     # into a fresh base so the anti-join read side stays a bounded file set
@@ -551,7 +563,7 @@ def run_superstep(
         else budgets_next.coalesce(min(cap, 8)),
         "seen": seen_tbl,
         "results": _coalesce_for_write(results, n_eligible, cap),
-        "metrics": metrics.coalesce(1),
+        "metrics": metrics,
     }
     if use_bloom:
         # fold the new keys in; never (re)create a bloom mid-run — a bloom
@@ -571,31 +583,28 @@ def run_superstep(
                    delta_seen=not seen_compact)
     t_commit = time.monotonic()
 
-    summ = storage.metrics_summary(s + 1)  # driver-local, no Spark job
-    tot = summ["totals"]
-    man = storage.manifest(s + 1)
-    n_fetched = man["tables"]["results"]["rows"]
-    # delta vs compacted-base agnostic: the running totals difference is
-    # exactly this superstep's newly-seen count
-    n_new = man["tables"]["seen"]["total_rows"] - n_seen
-    n_wave = tot["rows_in"]
-    budget_deferred = n_eligible - n_wave
-    # Derive the NEXT superstep's head from the committed histograms — the
-    # engine loop pays zero frontier_head jobs between busy supersteps.
+    # this superstep's newly-seen count == its new_rows count (seen is
+    # keyed by url_hash/url and new_rows are already seen-deduped), so no
+    # manifest read-back is needed
+    n_new = n_new_rows
+    # Derive the NEXT superstep's head from the histograms collected with
+    # the metrics aggregate above — the engine loop pays zero
+    # frontier_head (or metrics read-back) jobs between busy supersteps.
     hist_next = dict(head["hist"])
-    for ne, n in summ["wave_hist"].items():       # granted rows left pending
+    for ne, n in wave_hist.items():               # granted rows left pending
         left = hist_next.get(ne, 0) - n
         if left > 0:
             hist_next[ne] = left
         else:
             hist_next.pop(ne, None)
-    for ne, n in summ["retry_hist"].items():      # retries re-enter pending
+    for ne, n in retry_hist.items():              # retries re-enter pending
         hist_next[ne] = hist_next.get(ne, 0) + n
-    new_pending = n_new - tot["robots_blocked"]
+    new_pending = n_new - n_blocked
     if new_pending > 0:
         hist_next[s + 1] = hist_next.get(s + 1, 0) + new_pending
     head_next = {"pending": sum(hist_next.values()), "hist": hist_next,
                  "max_order": max_order + n_new}
+
     stats = {
         "head_next": head_next,
         "superstep": s, "pending": n_pending, "eligible": n_eligible,
@@ -614,8 +623,8 @@ def run_superstep(
         "t_commit": round(t_commit - t_mat, 2),
         "bloom_keys_per_bucket": round(bloom_keys_per_bucket, 1),
         "bloom_saturated": bloom_saturated,
-        "deduped": tot["deduped"], "robots_blocked": tot["robots_blocked"],
-        "budget_deferred": budget_deferred, "wall_ms": tot["wall_ms"],
+        "deduped": n_cand - n_new_rows, "robots_blocked": n_blocked,
+        "budget_deferred": budget_deferred, "wall_ms": wall_ms,
         # by construction equals (pending - wave) + retries + new_pending
         "pending_after": head_next["pending"],
     }

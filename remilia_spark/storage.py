@@ -217,6 +217,7 @@ class ParquetSnapshotStorage:
 
         def write_one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
             name, df = item
+            t_w0 = time.monotonic()
             as_delta = (name == "frontier" and delta_frontier) or \
                        (name == "seen" and seen_is_delta)
             as_base = name in ("frontier", "seen") and not as_delta
@@ -238,8 +239,12 @@ class ParquetSnapshotStorage:
             else:
                 counts = [pq.read_metadata(f).num_rows for f in files]
             parts = {os.path.basename(f): n for f, n in zip(files, counts)}
+            # per-table write wall — commit-cost attribution lineage (the
+            # commit runs writes concurrently, so the commit wall is the
+            # max of these, not the sum)
             return name, {"path": str(path), "files": parts,
-                          "rows": sum(parts.values())}
+                          "rows": sum(parts.values()),
+                          "write_sec": round(time.monotonic() - t_w0, 3)}
 
         # the table writes are independent Spark jobs over cached inputs —
         # run them concurrently so the commit wall-clock is max(), not sum()
