@@ -44,7 +44,7 @@ from .config import CrawlConfig
 from .extract import extract
 from .ranking import global_rank, grant_wave
 from .robots import with_robots_state
-from .storage import METRICS_SCHEMA, ParquetSnapshotStorage
+from .storage import LocalTable, METRICS_SCHEMA, ParquetSnapshotStorage
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
@@ -540,8 +540,10 @@ def run_superstep(
         bloom_keys_per_bucket > cfg.bloom_bucket_bits * _fill
     if bloom_saturated:
         metrics_rows.append((s, -3, int(n_seen)) + nones)
-    metrics = spark.createDataFrame(metrics_rows, METRICS_SCHEMA) \
-        .coalesce(1)
+    # driver-local rows commit without a Spark job (see LocalTable) — a
+    # parallelize + distributed write of ~40 rows measured ~5 s/superstep
+    # of pure scheduling under load
+    metrics = LocalTable(metrics_rows, METRICS_SCHEMA)
 
     # seen compaction: periodically fold base + delta chain + this delta
     # into a fresh base so the anti-join read side stays a bounded file set

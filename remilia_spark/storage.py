@@ -43,6 +43,7 @@ import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from pathlib import Path
 
 import pyarrow.parquet as pq
@@ -53,8 +54,8 @@ from .budget import BUDGETS_SCHEMA  # re-export: state-table schemas live here
 
 __all__ = [
     "BUDGETS_SCHEMA", "FRONTIER_SCHEMA", "FRONTIER_REV_SCHEMA", "SEEN_SCHEMA",
-    "RESULTS_SCHEMA", "METRICS_SCHEMA", "ParquetSnapshotStorage",
-    "SNAPSHOT_TABLES", "DELTA_TABLES",
+    "RESULTS_SCHEMA", "METRICS_SCHEMA", "LocalTable",
+    "ParquetSnapshotStorage", "SNAPSHOT_TABLES", "DELTA_TABLES",
 ]
 
 SNAPSHOT_TABLES = ("frontier", "budgets", "bloom")
@@ -75,6 +76,38 @@ METRICS_SCHEMA = (
     "deduped long, robots_blocked long, budget_deferred long, wall_ms long, "
     "retry_pending long, failed_terminal long"
 )
+
+
+@dataclass
+class LocalTable:
+    """Driver-local bounded rows destined for a commit table.
+
+    The storage impl persists these WITHOUT launching a Spark job — the
+    parquet impl writes one pyarrow file, the in-memory impl stores the
+    rows as-is.  Used for the metrics table: its content is already a
+    driver-side collect (bounded: partitions × backoff horizon), and
+    round-tripping ~40 rows through ``parallelize`` + a distributed
+    write measured a flat ~5 s/superstep of pure job scheduling under
+    load — the single largest slice of the commit wall at fixture scale.
+    """
+    rows: list
+    schema: str  # DDL string, e.g. METRICS_SCHEMA
+
+    def field_names(self) -> list[str]:
+        return [p.strip().rsplit(" ", 1)[0] for p in self.schema.split(",")]
+
+
+def _ddl_to_arrow(ddl: str):
+    """Arrow schema from the simple flat DDL strings this module uses
+    (int/long/string/double/boolean columns only)."""
+    import pyarrow as pa
+    m = {"int": pa.int32(), "long": pa.int64(), "string": pa.string(),
+         "double": pa.float64(), "boolean": pa.bool_()}
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append(pa.field(name, m[typ]))
+    return pa.schema(fields)
 
 
 def _summarize_metrics(rows, as_int) -> dict:
@@ -227,6 +260,23 @@ class ParquetSnapshotStorage:
                 path = self.root / name / f"s={s:06d}"
             else:
                 path = self._table_dir(name, s)
+            if isinstance(df, LocalTable):
+                # driver-local rows: one pyarrow file, zero Spark jobs —
+                # the read side is identical parquet
+                import pyarrow as pa
+                import shutil
+                shutil.rmtree(path, ignore_errors=True)
+                path.mkdir(parents=True, exist_ok=True)
+                arrow = _ddl_to_arrow(df.schema)
+                cols = {f.name: [r[i] for r in df.rows]
+                        for i, f in enumerate(arrow)}
+                pq.write_table(pa.table(cols, schema=arrow),
+                               str(path / "part-00000.parquet"))
+                return name, {"path": str(path),
+                              "files": {"part-00000.parquet": len(df.rows)},
+                              "rows": len(df.rows),
+                              "write_sec": round(
+                                  time.monotonic() - t_w0, 3)}
             df.write.mode("overwrite").parquet(str(path))
             files = sorted(str(f) for f in path.glob("*.parquet"))
             # footer-only metadata reads; parallel — at 32 shuffle
@@ -461,6 +511,15 @@ class InMemorySnapshotStorage:
         for name, prev in (reuse or {}).items():
             lineage[name] = self._manifests[prev]["tables"][name]
         for name, df in tables.items():
+            if isinstance(df, LocalTable):
+                from pyspark.sql import Row
+                mk = Row(*df.field_names())
+                rows = [mk(*r) for r in df.rows]
+                self._data[(name, s)] = (df.schema, rows)
+                lineage[name] = {"path": f"mem://{name}/{s}", "step": s,
+                                 "files": {f"mem-{s}": len(rows)},
+                                 "rows": len(rows)}
+                continue
             rows = df.collect()
             self._data[(name, s)] = (df.schema, rows)
             lineage[name] = {"path": f"mem://{name}/{s}", "step": s,
