@@ -434,6 +434,76 @@ def q_crawl_flagship(spark, sf):
     return flagship_crawl(spark, sf)
 
 
+# link-graph authority: same deterministic doc-graph shape as the flagship
+# corpus (_derived_corpus link rules), ranked by fixed-point PageRank —
+# integer arithmetic end-to-end, so Spark and DuckDB agree bit-for-bit.
+_PR_N_DOCS, _PR_ITERS = 200, 3
+
+
+def q_link_pagerank(spark, sf):
+    from remilia_spark.datapipe import graph
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _PR_N_DOCS).select("doc_id")
+    did = F.col("doc_id")
+    e = d.select(
+        did.alias("src"),
+        F.explode(F.array(did + 1, did * 2 + 1, did + 9, did + 2))
+        .alias("dst"),
+    ).where(F.col("dst") < _PR_N_DOCS)
+    r = graph.pagerank(e, iterations=_PR_ITERS)
+    return r.select(F.col("node").cast("long").alias("node"),
+                    F.col("rank_fp").cast("long").alias("rank_fp"))
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank recurrence (graph.py docstring spec).
+
+    DuckDB SUM(BIGINT) yields HUGEINT; every rank lands back in BIGINT via
+    an explicit cast.  `//` is floor division — all values positive, so it
+    matches Spark's `div` exactly.
+    """
+    n_docs, base = _PR_N_DOCS, 10**12
+    head = f"""
+        WITH e AS (
+          SELECT src, dst FROM (
+            SELECT doc_id AS src,
+                   unnest([doc_id + 1, doc_id * 2 + 1,
+                           doc_id + 9, doc_id + 2]) AS dst
+            FROM documents WHERE doc_id < {n_docs})
+          WHERE dst < {n_docs}),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST({base} // n AS BIGINT) AS r
+               FROM nodes, nn)"""
+    body = ""
+    for k in range(_PR_ITERS):
+        body += f""",
+        d{k} AS (
+          SELECT CAST(COALESCE(SUM(r.r), 0) // (SELECT n FROM nn)
+                      AS BIGINT) AS dpn
+          FROM r{k} r LEFT JOIN outdeg o ON r.node = o.src
+          WHERE o.src IS NULL),
+        c{k} AS (
+          SELECT e.dst AS node, SUM(r.r // o.odeg) AS c
+          FROM e JOIN r{k} r ON e.src = r.node
+          JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst),
+        r{k + 1} AS (
+          SELECT n.node,
+                 CAST((15 * {base}) // (100 * nn.n)
+                      + 85 * (COALESCE(c.c, 0) + d.dpn) // 100
+                      AS BIGINT) AS r
+          FROM nodes n
+          CROSS JOIN nn
+          CROSS JOIN d{k} d
+          LEFT JOIN c{k} c ON n.node = c.node)"""
+    return head + body + f"""
+        SELECT node, r AS rank_fp FROM r{_PR_ITERS}"""
+
+
 # media fixture shape: every image is W x H RGB with pixel channels pure
 # integer arithmetic of (doc_id, x, y), PPM-encoded in Spark and decoded
 # back by the REAL pure-Python codec (datapipe/codecs.py) — so the oracle
@@ -605,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_ivf": q_embed_ann_ivf,
         "embed_near_dup": q_embed_near_dup,
         "media_features": q_media_features,
+        "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -890,4 +961,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_ivf": _ann_ivf_oracle(),
         "embed_near_dup": _near_dup_oracle(),
         "media_features": _media_features_oracle(),
+        "link_pagerank": _pagerank_oracle(),
     }

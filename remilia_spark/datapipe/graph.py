@@ -1,0 +1,121 @@
+"""Link-graph operators — host/page authority for crawl prioritization.
+
+A production crawler ranks its frontier not just by (depth, discovery
+order) but by link authority: pages/hosts that the already-crawled web
+points at more should be fetched earlier.  The reference has no graph
+stage (its ordering is channel arrival, ``pipeline.go:142-158``); this is
+a north-rule-scale addition that plugs into the engine as an extra
+priority key (join ``pagerank`` output onto the frontier by host before
+``ranking.grant_wave``).
+
+Fixed-point determinism
+-----------------------
+PageRank over floats is not reproducible across partitionings — float
+addition is non-associative, so two cluster sizes can disagree in the
+last ulp and break the engine's determinism invariant (and any
+value-hash oracle).  We therefore run the entire iteration in **integer
+fixed point** (BASE = 10^12):
+
+    r0(v)      = BASE div N
+    share(u)   = r(u) div outdeg(u)
+    contrib(v) = SUM share(u) over in-edges     -- exact integer sum
+    dang       = SUM r(u) over dangling u       -- exact integer sum
+    r'(v)      = (15*BASE) div (100*N) + (85 * (contrib(v) + dang div N)) div 100
+
+Every op is integer add / floor-div, so the result is bit-identical on
+any partitioning, any engine — the DuckDB oracle unrolls the same
+recurrence as CTEs.  Ranks sum to ~BASE, so no term exceeds ~10^14 and
+64-bit never overflows at any graph size.
+
+Scale notes (10^10-edge graphs)
+-------------------------------
+* Edges are shuffled onto ``src`` ONCE and persisted; each iteration's
+  join re-uses that partitioning, so per-iteration cost is one shuffle
+  of the (small) rank table plus one map-side aggregated groupBy(dst).
+* ``localCheckpoint`` every iteration truncates the lineage — without it
+  the plan doubles per iteration and the driver, not the cluster,
+  becomes the bottleneck by iteration ~15.
+* The dangling mass is a scalar: computed with a map-side-combined
+  SUM (one number to the driver), never a crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BASE = 10**12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-point PageRank; returns ``(node long, rank_fp long)``.
+
+    ``rank_fp`` is the rank scaled by BASE=10^12 (divide for the float
+    value).  Deterministic: equal edges → bit-identical output on any
+    cluster size.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank_fp long")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one shuffle onto src, reused by every iteration's join
+    e = e.repartition("src").persist()
+    edge_share = e.join(outdeg, "src")  # (src, dst, outdeg)
+
+    r0 = BASE // n
+    ranks = nodes.withColumn("rank_fp", F.lit(r0).cast("long"))
+    teleport = (_DAMP_DEN - _DAMP_NUM) * BASE // (_DAMP_DEN * n)
+    try:
+        for _ in range(iterations):
+            shares = edge_share.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            ).select(
+                "dst", F.expr("rank_fp div outdeg").alias("share"))
+            contrib = shares.groupBy("dst").agg(
+                F.sum("share").alias("contrib"))
+            dang_row = ranks.join(
+                outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank_fp"), F.lit(0))).collect()[0][0]
+            dang_per_node = int(dang_row) // n
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"{_DAMP_NUM} * (coalesce(contrib, 0)"
+                          f" + {dang_per_node}) div {_DAMP_DEN}")
+                 ).cast("long").alias("rank_fp"),
+            ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return ranks
+
+
+def pagerank_py(edge_list, iterations: int = 3) -> dict[int, int]:
+    """Pure-Python twin of :func:`pagerank` — the unit-test oracle."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for u, v in edge_list:
+        out.setdefault(u, []).append(v)
+    r = {v: BASE // n for v in nodes}
+    teleport = (_DAMP_DEN - _DAMP_NUM) * BASE // (_DAMP_DEN * n)
+    for _ in range(iterations):
+        contrib = dict.fromkeys(nodes, 0)
+        for u, dsts in out.items():
+            share = r[u] // len(dsts)
+            for v in dsts:
+                contrib[v] += share
+        dang = sum(r[u] for u in nodes if u not in out) // n
+        r = {v: teleport + _DAMP_NUM * (contrib[v] + dang) // _DAMP_DEN
+             for v in nodes}
+    return r

@@ -1,0 +1,34 @@
+"""Fixed-point PageRank: Spark vs the pure-Python twin, plus the
+determinism and conservation properties the fixed-point design buys."""
+
+from __future__ import annotations
+
+from remilia_spark.datapipe.graph import BASE, pagerank, pagerank_py
+
+# diamond + dangling sink + a cycle back: exercises dangling mass,
+# multi-in-degree, and a node with no in-edges
+_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (3, 4), (5, 0)]
+
+
+def test_pagerank_matches_python_twin(spark):
+    e = spark.createDataFrame(_EDGES, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(e, iterations=4).collect()}
+    assert got == pagerank_py(_EDGES, iterations=4)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    e1 = spark.createDataFrame(_EDGES, "src long, dst long").repartition(1)
+    e8 = spark.createDataFrame(_EDGES, "src long, dst long").repartition(8)
+    r1 = {r.node: r.rank_fp for r in pagerank(e1, iterations=3).collect()}
+    r8 = {r.node: r.rank_fp for r in pagerank(e8, iterations=3).collect()}
+    assert r1 == r8  # bit-identical on any partitioning
+
+
+def test_pagerank_properties():
+    r = pagerank_py(_EDGES, iterations=6)
+    # mass approximately conserved (floor-div loses < 1 unit per op)
+    assert abs(sum(r.values()) - BASE) < len(r) * 200
+    # node 3 has two in-edges from rank-rich nodes: top rank
+    assert max(r, key=r.get) == 3
+    # node 5 has no in-edges: minimum (pure teleport + dangling share)
+    assert min(r, key=r.get) == 5
