@@ -1,0 +1,121 @@
+"""Structured Streaming ingest — out-of-band URL discovery into the frontier.
+
+The batch-iterative superstep loop (engine.py) is the crawl itself — the
+north rule mandates resumable, deterministic waves, so the *crawl* is not a
+stream.  But a production frontier also ingests URLs discovered outside the
+crawl loop: sitemap pings, partner feeds, log taps.  Those arrive
+continuously, and this module is the Spark-idiomatic connector for them:
+
+    readStream (json drops) → canonicalize (Arrow UDF, same one the engine
+    uses) → foreachBatch: batch-dedup + anti-join the committed seen set →
+    idempotent append to a landing directory the next superstep merges as
+    extra seeds.
+
+Design points:
+
+* **The same canonicalizer as the engine** (`frontier._canonicalize`) runs
+  inside the stream, so a URL discovered out-of-band and the same URL
+  discovered by the crawl always collapse to one frontier row.
+* **Exactly-once via foreachBatch + per-batch directory.**  Each micro-batch
+  writes ``batch_id=<n>/`` with ``mode=overwrite``; a replayed batch (crash
+  between write and checkpoint commit) overwrites its own output instead of
+  duplicating it.  This is the standard idempotent-sink pattern and maps
+  1:1 onto an Iceberg ``overwritePartitions`` on a real cluster.
+* **Seen-set join is against the manifest-committed snapshot** — the stream
+  never sees uncommitted crawl state, so a crash of either side leaves the
+  pair consistent (at worst a URL lands twice across *different* batches
+  and the engine's own insert-time dedup drops it — the landing zone is a
+  staging area, not the seen set).
+* ``trigger(availableNow=True)`` drains a backlog and stops — how the tests
+  and any batch-scheduled production merge run it; a live deployment drops
+  the trigger and runs micro-batches continuously.
+
+Input schema (one json object per line, one file per drop):
+
+    {"url": "...", "source": "sitemap|feed|log", "ts": "2024-08-07T..."}
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INGEST_SCHEMA = "url string, source string, ts timestamp"
+
+# landing-zone schema: what the engine merges as extra seed rows
+LANDING_SCHEMA = ("url string, url_hash long, host string, "
+                  "source string, ingest_ts timestamp")
+
+
+def _canonical_candidates(raw: DataFrame) -> DataFrame:
+    """Canonicalize + hash a (possibly streaming) DataFrame of raw URLs —
+    identical column math to the engine's seed path (frontier.py)."""
+    from .frontier import _canonicalize
+
+    return (
+        raw
+        .withColumn("np", _canonicalize("url", F.lit(None).cast("string")))
+        .where(F.col("np.url").isNotNull())
+        .select(
+            F.col("np.url").alias("url"),
+            F.xxhash64("np.url").alias("url_hash"),
+            F.col("np.host").alias("host"),
+            "source",
+            F.col("ts").alias("ingest_ts"),
+        )
+    )
+
+
+def start_url_ingest(
+    spark: SparkSession,
+    source_dir: str | Path,
+    landing_dir: str | Path,
+    checkpoint_dir: str | Path,
+    seen: DataFrame | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    ``seen`` is the committed seen snapshot (``CrawlRun.seen()``); rows whose
+    ``(url_hash, url)`` already appear there are dropped before landing.
+    """
+    landing_dir = str(landing_dir)
+    reader = (spark.readStream.schema(INGEST_SCHEMA)
+              .option("multiLine", "false"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(str(source_dir))
+    cand = _canonical_candidates(raw)
+    seen_keys = (seen.select("url_hash", "url").localCheckpoint(eager=True)
+                 if seen is not None else None)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        out = batch.dropDuplicates(["url_hash", "url"])
+        if seen_keys is not None:
+            out = out.join(seen_keys, ["url_hash", "url"], "left_anti")
+        # idempotent: a replayed batch overwrites its own directory
+        out.write.mode("overwrite").parquet(
+            f"{landing_dir}/batch_id={batch_id}")
+
+    writer = (cand.writeStream
+              .foreachBatch(_sink)
+              .option("checkpointLocation", str(checkpoint_dir)))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_landing(spark: SparkSession, landing_dir: str | Path) -> DataFrame:
+    """Landed candidates across all batches, deduped to first ingest —
+    ready to union into the next run's seeds."""
+    df = spark.read.schema(LANDING_SCHEMA).option(
+        "basePath", str(landing_dir)).parquet(f"{landing_dir}/batch_id=*")
+    w_first = F.struct("ingest_ts", "source").alias("pick")
+    return (df.groupBy("url_hash", "url", "host")
+            .agg(F.min(w_first).alias("pick"))
+            .select("url", "url_hash", "host",
+                    F.col("pick.source").alias("source"),
+                    F.col("pick.ingest_ts").alias("ingest_ts")))
