@@ -106,11 +106,18 @@ class Engine:
         pre_fetch_hooks=None,
         post_parse_hooks=None,
         storage=None,
+        authority=None,
     ) -> CrawlRun:
         """Run the crawl.  State goes to ``ParquetSnapshotStorage(state_dir)``
         unless a ``storage`` instance (any impl of the commit/read protocol,
         e.g. ``InMemorySnapshotStorage``; Iceberg on a cluster) is passed —
-        the backend swap is exactly this constructor change."""
+        the backend swap is exactly this constructor change.
+
+        ``authority`` (optional): a ``(host, rank_fp)`` table — e.g.
+        ``datapipe.graph.pagerank`` over a previous crawl's link graph —
+        reorders the priority pop so higher-authority hosts fetch first
+        within a depth.  Only meaningful with ``cfg.wave_size`` (without a
+        cap, every eligible granted row fetches this superstep anyway)."""
         cfg = self.cfg
         if storage is None:
             if state_dir is None:
@@ -214,7 +221,7 @@ class Engine:
                                       layer_fns=layer_fns,
                                       pre_fetch_hooks=pre_fetch_hooks,
                                       post_parse_hooks=post_parse_hooks,
-                                      head=head)
+                                      head=head, authority=authority)
                 run.stats.append(stats)
                 log_sink.write(stats)
                 s += 1

@@ -188,7 +188,8 @@ def _coalesce_for_write(df: DataFrame, est_rows: int, cap: int) -> DataFrame:
 
 def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
                     robots: DataFrame | None, cfg: CrawlConfig,
-                    target_s: int) -> DataFrame:
+                    target_s: int,
+                    authority: DataFrame | None = None) -> DataFrame:
     """Budget-grant + priority-pop ``eligible`` into the wave for superstep
     ``target_s``, materialized as an eager local checkpoint.
 
@@ -207,8 +208,23 @@ def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
     granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
                                       target_s), cfg)
     if cfg.wave_size is not None:
-        granted = granted.orderBy("depth", "host_rank", "discovery_order") \
-                         .limit(cfg.wave_size)
+        pop_keys = ["depth", "host_rank", "discovery_order"]
+        if authority is not None:
+            # opt-in link-authority pop (datapipe.graph.pagerank output):
+            # within a depth, higher-authority hosts pop first.  Broadcast —
+            # a host-level table is ~10^7 rows at 10^10 URLs; past executor
+            # broadcast budgets, drop the hint and it's one extra shuffle
+            # of the (already budget-pruned) granted set.  Ordering stays
+            # total (discovery_order is unique), so determinism holds.
+            granted = granted.join(
+                F.broadcast(authority.select(
+                    "host", F.col("rank_fp").alias("_auth"))),
+                "host", "left"
+            ).withColumn("_auth", F.coalesce("_auth", F.lit(0)))
+            pop_keys = ["depth", F.col("_auth").desc(), "host_rank",
+                        "discovery_order"]
+        granted = granted.orderBy(*pop_keys).limit(cfg.wave_size) \
+                         .drop("_auth")
     return granted.localCheckpoint(eager=True)
 
 
@@ -223,6 +239,7 @@ def run_superstep(
     pre_fetch_hooks=None,
     post_parse_hooks=None,
     head: dict | None = None,
+    authority: DataFrame | None = None,
 ) -> dict:
     """Run superstep ``s`` on committed state ``s`` and commit ``s + 1``.
 
@@ -257,7 +274,7 @@ def run_superstep(
     budgets = storage.read_snapshot("budgets", s)
     is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
     wave = _grant_wave_for(frontier.where(is_eligible), budgets,
-                           robots, cfg, s)
+                           robots, cfg, s, authority=authority)
     t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
