@@ -28,7 +28,12 @@ Common-Crawl-style pages:
   the canonical crawl ordering / seen set / extracted text.
 * ``engine``   — driver loop + config.
 * ``datapipe`` — large-scale training-data pipeline operators (dedup,
-  similarity search, text analysis) over document/embedding tables.
+  similarity search, text analysis, fixed-point link-graph PageRank) over
+  document/embedding tables.
+* ``sources``  — ingest connectors landing on the pages schema (WARC —
+  Common Crawl's native segment format).
+* ``streaming``— Structured Streaming ingest of out-of-band URL discovery
+  (sitemap pings, feeds) into the frontier's seed landing zone.
 """
 
 __version__ = "0.1.0"
