@@ -51,7 +51,17 @@ def _shingle_sql(k: int) -> str:
 
 
 def _neardup_sql(k: int, num_perm: int, bands: int, threshold: float) -> str:
-    """DuckDB twin of MinHash -> banded LSH -> shingle-Jaccard verify.
+    """DuckDB twin of MinHash -> banded LSH -> shingle-Jaccard verify."""
+    return f"""
+        WITH {_neardup_ctes(k, num_perm, bands)}
+        SELECT doc_a, doc_b, ROUND(i / CAST(u AS DOUBLE), 6) AS jaccard
+        FROM j WHERE i / CAST(u AS DOUBLE) >= {threshold}
+    """
+
+
+def _neardup_ctes(k: int, num_perm: int, bands: int) -> str:
+    """Shared CTE chain ending at ``j (doc_a, doc_b, i, u)`` — candidate
+    pairs with shingle intersection/union counts.
 
     The Spark side buckets on md5(sorted 'perm:minhash' strings); equality
     of those md5s is equality of the sorted concatenations, so the oracle
@@ -59,8 +69,7 @@ def _neardup_sql(k: int, num_perm: int, bands: int, threshold: float) -> str:
     """
     toks_l = _TOKS_SQL.format(t="lower(text)")
     r = num_perm // bands
-    return f"""
-        WITH t AS (SELECT doc_id, {toks_l} AS t FROM documents),
+    return f"""t AS (SELECT doc_id, {toks_l} AS t FROM documents),
         sh AS (
           SELECT doc_id, unnest(list_distinct({_shingle_sql(k)})) AS shingle
           FROM t),
@@ -90,10 +99,7 @@ def _neardup_sql(k: int, num_perm: int, bands: int, threshold: float) -> str:
                  len(list_distinct(list_concat(sa.s, sb.s))) AS u
           FROM pairs p
           JOIN sets sa ON sa.doc_id = p.doc_a
-          JOIN sets sb ON sb.doc_id = p.doc_b)
-        SELECT doc_a, doc_b, ROUND(i / CAST(u AS DOUBLE), 6) AS jaccard
-        FROM j WHERE i / CAST(u AS DOUBLE) >= {threshold}
-    """
+          JOIN sets sb ON sb.doc_id = p.doc_b)"""
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +333,43 @@ def q_doc_near_dup_lsh(spark, sf):
     d = _read(spark, sf, "documents")
     return dedup.minhash_near_duplicates(d, k=3, num_perm=8, bands=4,
                                          threshold=0.5)
+
+
+def q_doc_dup_clusters(spark, sf):
+    """Near-dup pairs -> connected components -> canonical-doc clusters:
+    the keep-one-per-cluster step a dedup pipeline ends with."""
+    from remilia_spark.datapipe import graph
+    d = _read(spark, sf, "documents")
+    pairs = dedup.minhash_near_duplicates(d, k=3, num_perm=8, bands=4,
+                                          threshold=0.5)
+    cc = graph.connected_components(pairs, a="doc_a", b="doc_b")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"))
+
+
+def _dup_clusters_oracle() -> str:
+    """Transitive closure over the verified near-dup pairs: min reachable
+    doc_id per node == connected_components' min-label fixpoint."""
+    return f"""
+        WITH RECURSIVE {_neardup_ctes(k=3, num_perm=8, bands=4)},
+        dup AS (
+          SELECT doc_a, doc_b FROM j
+          WHERE i / CAST(u AS DOUBLE) >= 0.5),
+        sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM dup),
+        walk(node, lbl) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node)
+        SELECT node AS doc_id,
+               MIN(lbl) AS cluster_id,
+               (node = MIN(lbl)) AS is_canonical
+        FROM walk GROUP BY node
+    """
 
 
 def q_embed_cosine_topk(spark, sf):
@@ -670,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -962,4 +1006,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": _near_dup_oracle(),
         "media_features": _media_features_oracle(),
         "link_pagerank": _pagerank_oracle(),
+        "doc_dup_clusters": _dup_clusters_oracle(),
     }

@@ -3,7 +3,13 @@ determinism and conservation properties the fixed-point design buys."""
 
 from __future__ import annotations
 
-from remilia_spark.datapipe.graph import BASE, pagerank, pagerank_py
+from remilia_spark.datapipe.graph import (
+    BASE,
+    connected_components,
+    connected_components_py,
+    pagerank,
+    pagerank_py,
+)
 
 # diamond + dangling sink + a cycle back: exercises dangling mass,
 # multi-in-degree, and a node with no in-edges
@@ -22,6 +28,25 @@ def test_pagerank_partitioning_invariant(spark):
     r1 = {r.node: r.rank_fp for r in pagerank(e1, iterations=3).collect()}
     r8 = {r.node: r.rank_fp for r in pagerank(e8, iterations=3).collect()}
     assert r1 == r8  # bit-identical on any partitioning
+
+
+def test_connected_components(spark):
+    # two chains + a singleton-pair + a clique: {0..3}, {10,11,12}, {20,21}
+    edges = [(1, 0), (1, 2), (3, 2), (10, 11), (11, 12), (10, 12), (21, 20)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component
+           for r in connected_components(e).collect()}
+    assert got == connected_components_py(edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-node path needs multiple propagation rounds to converge
+    edges = [(i, i + 1) for i in range(11)]
+    e = spark.createDataFrame(edges, "a long, b long").repartition(6)
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(12)}
 
 
 def test_pagerank_properties():
