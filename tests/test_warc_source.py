@@ -61,6 +61,37 @@ def test_read_warc_spark(spark, tmp_path):
     assert synth.unionByName(df).count() == 10 + 6
 
 
+def test_crawl_over_warc_equals_parquet(spark, tiny_corpus, tmp_path):
+    """End-to-end: the engine crawling a WARC-sourced pages table produces
+    the identical fetch log, seen set and extracted text as the same pages
+    read from parquet — the connector is a drop-in pages source."""
+    from remilia_spark.config import CrawlConfig
+    from remilia_spark.engine import Engine
+
+    c, corpus_dir = tiny_corpus
+    recs = [(r.url, r.warc_ts, bytes(r.html))
+            for _, r in c.pages.iterrows()]
+    seg = tmp_path / "corpus.warc.gz"
+    seg.write_bytes(warc_bytes(recs, gzip_members=True))
+
+    pages_pq = spark.read.parquet(str(corpus_dir / "pages.parquet"))
+    pages_warc = read_warc(spark, str(seg))
+    seeds = spark.read.parquet(str(corpus_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(corpus_dir / "robots.parquet"))
+
+    cfg = CrawlConfig(max_depth=2, max_supersteps=30)
+    runs = []
+    for tag, pages in (("pq", pages_pq), ("warc", pages_warc)):
+        run = Engine(spark, cfg).run(pages, seeds, robots, tmp_path / tag)
+        events = [(r.superstep, r.url, r.discovery_order)
+                  for r in run.fetch_events().collect()]
+        seen = {r.url for r in run.seen().collect()}
+        texts = {r.url: r.text for r in run.results().collect()}
+        runs.append((events, seen, texts))
+    assert runs[0] == runs[1]
+    assert len(runs[0][0]) > 5  # a real crawl happened
+
+
 def test_warc_pages_feed_extractor(spark, tmp_path):
     """The connector's html bytes drive the pinned extractor identically to
     in-memory parsing — the byte-identical-text invariant crosses the seam."""
