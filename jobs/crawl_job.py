@@ -41,6 +41,11 @@ def parse_args(argv):
     p.add_argument("--max-depth", type=int, default=2)
     p.add_argument("--max-supersteps", type=int, default=64)
     p.add_argument("--wave-size", type=int, default=None)
+    p.add_argument("--authority", default=None,
+                   help="parquet of (host, rank_fp) — e.g. "
+                        "datapipe.graph.pagerank output from a previous "
+                        "crawl's link graph; reorders the capped priority "
+                        "pop toward high-authority hosts (needs --wave-size)")
     p.add_argument("--max-attempt", type=int, default=10)
     p.add_argument("--bucket-capacity", type=int, default=100)
     p.add_argument("--fill-quantum", type=int, default=10)
@@ -82,8 +87,10 @@ def main(argv=None) -> int:
         bucket_capacity=args.bucket_capacity,
         fill_quantum=args.fill_quantum,
     )
+    authority = (spark.read.parquet(args.authority)
+                 if args.authority else None)
     run = Engine(spark, cfg).run(pages, seeds, robots, args.state,
-                                 resume=args.resume)
+                                 resume=args.resume, authority=authority)
     for s in run.stats:
         print(json.dumps({"superstep": s["superstep"],
                           "wave": s.get("wave", 0),
