@@ -8,4 +8,6 @@ so a crawl can run unchanged over a synthetic corpus (``corpus.py``), a
 parquet snapshot, or raw Common-Crawl WARC segments (``sources.warc``).
 """
 
+from .robotstxt import parse_robots_txt, robots_table  # noqa: F401
+from .sitemap import parse_sitemap, sitemap_urls  # noqa: F401
 from .warc import read_warc, warc_bytes  # noqa: F401

@@ -1,0 +1,110 @@
+"""robots.txt and sitemap connectors: pure parsers + the Spark table they
+feed (robots table drives the engine's insertion-time filter; sitemap URLs
+feed the streaming ingest)."""
+
+from __future__ import annotations
+
+import gzip
+
+from remilia_spark.robots import blocked_col
+from remilia_spark.sources import (
+    parse_robots_txt,
+    parse_sitemap,
+    robots_table,
+    sitemap_urls,
+)
+
+_ROBOTS = b"""
+# host0 policy
+User-agent: googlebot
+Disallow: /only-google/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 2.7
+Allow: /private/ok   # unknown-to-us directive: ignored
+
+User-agent: otherbot
+Disallow: /
+"""
+
+_SITEMAP = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://host0.test/a</loc><lastmod>2024-08-01</lastmod></url>
+  <url><loc> http://host0.test/b </loc></url>
+  <url><lastmod>2024-08-02</lastmod></url>
+</urlset>"""
+
+_SITEMAP_INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://host0.test/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>http://host0.test/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_robots_txt_pure():
+    dis, delay = parse_robots_txt(_ROBOTS)
+    assert dis == ["/private/", "/tmp"]
+    assert delay == 2
+    # group targeting: a named agent sees its own group
+    assert parse_robots_txt(_ROBOTS, agent="otherbot") == (["/"], 0)
+    # empty / no-star robots allow everything
+    assert parse_robots_txt(b"") == ([], 0)
+    assert parse_robots_txt(b"User-agent: x\nDisallow: /") == ([], 0)
+    # consecutive user-agent lines share one group
+    both = b"User-agent: a\nUser-agent: *\nDisallow: /shared"
+    assert parse_robots_txt(both) == (["/shared"], 0)
+
+
+def test_parse_sitemap_pure():
+    assert list(parse_sitemap(_SITEMAP)) == [
+        ("http://host0.test/a", "2024-08-01", False),
+        ("http://host0.test/b", None, False),
+    ]
+    assert list(parse_sitemap(_SITEMAP_INDEX)) == [
+        ("http://host0.test/sitemap-1.xml", None, True),
+        ("http://host0.test/sitemap-2.xml.gz", None, True),
+    ]
+    # gzip bodies sniffed by magic; malformed XML yields nothing
+    assert list(parse_sitemap(gzip.compress(_SITEMAP))) \
+        == list(parse_sitemap(_SITEMAP))
+    assert list(parse_sitemap(b"<urlset><url><loc>x")) == []
+
+
+def test_robots_table_feeds_engine_filter(spark):
+    import pyspark.sql.functions as F
+
+    fetched = spark.createDataFrame(
+        [("host0.test", bytearray(_ROBOTS)), ("host1.test", bytearray(b""))],
+        "host string, body binary")
+    robots = robots_table(fetched)
+    rows = {r.host: r for r in robots.collect()}
+    assert rows["host0.test"].disallow == ["/private/", "/tmp"]
+    assert rows["host0.test"].crawl_delay == 2
+    assert rows["host1.test"].disallow == []
+    # the parsed table drives the same blocked_col the engine uses
+    paths = spark.createDataFrame(
+        [("host0.test", "/private/x"), ("host0.test", "/public"),
+         ("host1.test", "/private/x")], "host string, path string")
+    got = {(r.host, r.path): r.blocked for r in paths.join(robots, "host")
+           .select("host", "path",
+                   blocked_col(F.col("path"), F.col("disallow"))
+                   .alias("blocked")).collect()}
+    assert got == {("host0.test", "/private/x"): True,
+                   ("host0.test", "/public"): False,
+                   ("host1.test", "/private/x"): False}
+
+
+def test_sitemap_urls_spark(spark):
+    fetched = spark.createDataFrame(
+        [("http://host0.test/sitemap.xml", bytearray(_SITEMAP)),
+         ("http://host0.test/sitemap_index.xml", bytearray(_SITEMAP_INDEX)),
+         ("http://host0.test/broken.xml", bytearray(b"not xml"))],
+        "sitemap_url string, body binary")
+    got = sitemap_urls(fetched).collect()
+    urls = {(r.url, r.is_index) for r in got}
+    assert urls == {("http://host0.test/a", False),
+                    ("http://host0.test/b", False),
+                    ("http://host0.test/sitemap-1.xml", True),
+                    ("http://host0.test/sitemap-2.xml.gz", True)}
