@@ -292,6 +292,10 @@ def q_doc_token_count(spark, sf):
     return textstats.token_count(_read(spark, sf, "documents"))
 
 
+def q_doc_subtoken_count(spark, sf):
+    return textstats.subtoken_count(_read(spark, sf, "documents"))
+
+
 def q_doc_quality(spark, sf):
     return textstats.quality_score(_read(spark, sf, "documents"))
 
@@ -706,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_prefix_filter": q_robots_prefix_filter,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
+        "doc_subtoken_count": q_doc_subtoken_count,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -811,6 +816,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": f"""
             SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_subtoken_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS n_subtokens
             FROM documents
         """,
         "doc_quality": f"""

@@ -36,6 +36,29 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization: alphanumeric runs + each punctuation mark as
+# its own token — the word-level split every BPE/byte-level tokenizer
+# applies before merges, so this count tracks (and upper-bounds the shape
+# of) real tokenizer counts without shipping a vocab.  Plain character
+# classes only: Java regex (Spark) and RE2-ish engines (DuckDB) agree on
+# this pattern exactly, which the DuckDB oracle relies on.
+SUBTOKEN_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def subtoken_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_subtokens) — BPE-ish regex pre-tokenization count.
+
+    ``regexp_extract_all`` is JVM-side column math (whole-stage codegen);
+    at 100 TB this is a pure map stage, no shuffle.
+    """
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(SUBTOKEN_PATTERN), F.lit(0)))
+        .cast("long").alias("n_subtokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword heuristics + a composite score.
 
