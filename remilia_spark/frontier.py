@@ -189,7 +189,8 @@ def _coalesce_for_write(df: DataFrame, est_rows: int, cap: int) -> DataFrame:
 def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
                     robots: DataFrame | None, cfg: CrawlConfig,
                     target_s: int,
-                    authority: DataFrame | None = None) -> DataFrame:
+                    authority: DataFrame | None = None,
+                    approx_rows: int | None = None) -> DataFrame:
     """Budget-grant + priority-pop ``eligible`` into the wave for superstep
     ``target_s``, materialized as an eager local checkpoint.
 
@@ -206,7 +207,8 @@ def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
     round-trips everything through the storage manifest protocol.)
     """
     granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
-                                      target_s), cfg)
+                                      target_s), cfg,
+                         approx_rows=approx_rows)
     if cfg.wave_size is not None:
         pop_keys = ["depth", "host_rank", "discovery_order"]
         if authority is not None:
@@ -274,7 +276,8 @@ def run_superstep(
     budgets = storage.read_snapshot("budgets", s)
     is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
     wave = _grant_wave_for(frontier.where(is_eligible), budgets,
-                           robots, cfg, s, authority=authority)
+                           robots, cfg, s, authority=authority,
+                           approx_rows=n_eligible)
     t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------

@@ -74,14 +74,15 @@ def global_rank(df: DataFrame, keys: list[str], out_col: str,
     )
 
 
-def grant_wave(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def grant_wave(pending: DataFrame, cfg: CrawlConfig,
+               approx_rows: int | None = None) -> DataFrame:
     """Budget pop: pending rows that fit their host's budget, + host_rank.
 
     ``pending`` must carry (host, depth, discovery_order, avail — see
     ``budget.attach_avail``).  Returns pending columns + ``host_rank``
     (1-based), filtered to ``host_rank <= avail``.
 
-    The pop is ALWAYS the salted two-phase top-k: local rank within
+    The pop is the salted two-phase top-k: local rank within
     ``(host, salt)`` prunes each host to ``<= n_salts * avail`` survivors,
     then the real per-host rank runs on the pruned set.  Phase 1 can never
     drop a true top-k row (a row's local rank is a lower bound on its host
@@ -92,19 +93,28 @@ def grant_wave(pending: DataFrame, cfg: CrawlConfig) -> DataFrame:
     whole extra Spark job (count + collect, re-executing the frontier fold)
     per busy superstep — a pure driver-latency tax at any cluster size,
     and the unsalted path it usually took is exactly the one that dies on
-    a 10^10-frontier mega-host.  Unconditional salting needs no count at
-    all: one plan, bounded partitions, zero driver actions.
+    a 10^10-frontier mega-host.  Salting needs no count at all: one plan,
+    bounded partitions, zero driver actions.
+
+    ``approx_rows``: a driver-known upper bound on pending's size, when the
+    caller has one for free (the engine's next_eligible histograms).  At or
+    below ``cfg.rank_small_wave`` the salt phase is skipped: no host can
+    exceed that bound, so the single window is the identical answer minus
+    one shuffle stage — at fixture scale that stage is pure latency, and at
+    10^10-URL scale a superstep this small is latency-bound anyway.
     """
     df = pending
     order = [F.col(c) for c in HOST_ORDER]
-    w_local = Window.partitionBy("host", "_salt").orderBy(*order)
-    df = (
-        df.withColumn("_salt", F.pmod(F.xxhash64("url"),
-                                      F.lit(cfg.skew_salts)))
-          .withColumn("_lr", F.row_number().over(w_local))
-          .where(F.col("_lr") <= F.col("avail"))  # prune before real rank
-          .drop("_lr", "_salt")
-    )
+    small = approx_rows is not None and approx_rows <= cfg.rank_small_wave
+    if not small:
+        w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+        df = (
+            df.withColumn("_salt", F.pmod(F.xxhash64("url"),
+                                          F.lit(cfg.skew_salts)))
+              .withColumn("_lr", F.row_number().over(w_local))
+              .where(F.col("_lr") <= F.col("avail"))  # prune before real rank
+              .drop("_lr", "_salt")
+        )
     w_host = Window.partitionBy("host").orderBy(*order)
     return (
         df.withColumn("host_rank", F.row_number().over(w_host))
