@@ -698,6 +698,176 @@ def _near_dup_oracle() -> str:
                                      CAST(eb.embedding AS DOUBLE[])) >= 0.3"""
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline additions: block-level exact-substring dedup,
+# Gopher repetition signals, SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+_BLOCK_TOKENS = 8
+
+
+def q_doc_block_dedup(spark, sf):
+    """Corpus-wide duplicate-passage removal (ExactSubstr re-expressed at
+    disjoint 8-token-block granularity, dedup.remove_duplicate_blocks)."""
+    return dedup.remove_duplicate_blocks(_read(spark, sf, "documents"),
+                                         block_tokens=_BLOCK_TOKENS)
+
+
+def _block_dedup_oracle() -> str:
+    B = _BLOCK_TOKENS
+    toks = _TOKS_SQL.format(t="text")
+    bh = _HASH60_SQL.format(x="block")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) > 0 THEN
+                   [array_to_string(toks[(j*{B}+1):(j*{B}+{B})], ' ')
+                    for j in range(0, CAST(ceil(len(toks)/{B}.0) AS INT))]
+                 ELSE CAST([] AS VARCHAR[]) END AS blocks
+          FROM t),
+        r AS (
+          SELECT doc_id, unnest(blocks) AS block,
+                 unnest(range(0, len(blocks))) AS block_idx
+          FROM b),
+        h AS (
+          SELECT doc_id, block_idx, block,
+                 ROW_NUMBER() OVER (PARTITION BY {bh}
+                                    ORDER BY doc_id, block_idx) AS rn
+          FROM r),
+        a AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+                                     ORDER BY block_idx), '') AS text_kept
+          FROM h GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_blocks, 0) AS n_blocks,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               COALESCE(a.text_kept, '') AS text_kept
+        FROM documents d LEFT JOIN a USING (doc_id)"""
+
+
+def q_doc_gopher(spark, sf):
+    """Gopher repetition-quality signals (textstats.gopher_repetition)."""
+    return textstats.gopher_repetition(_read(spark, sf, "documents"))
+
+
+def _gopher_oracle() -> str:
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+
+    def grams(n: int) -> str:
+        return (f"CASE WHEN len(toks) >= {n} THEN "
+                f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+                f"for i in range(1, len(toks) - {n} + 2)] "
+                f"ELSE CAST([] AS VARCHAR[]) END")
+
+    def top_frac(g: str) -> str:
+        return (f"CASE WHEN len({g}) > 0 AND chars > 0 THEN "
+                f"list_max(list_transform(list_distinct({g}), "
+                f"x -> len(list_filter({g}, y -> y = x)) * length(x))) "
+                f"/ chars ELSE 0.0 END")
+
+    dup5 = ("CASE WHEN chars > 0 THEN LEAST(1.0, COALESCE("
+            "list_sum(list_transform(list_distinct(g5), "
+            "x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1 "
+            "THEN len(list_filter(g5, y -> y = x)) * length(x) "
+            "ELSE 0 END)), 0) / chars) ELSE 0.0 END")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {toks_l} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        g AS (
+          SELECT doc_id, lines,
+                 length(array_to_string(toks, ' ')) AS chars,
+                 {grams(2)} AS g2, {grams(3)} AS g3, {grams(5)} AS g5
+          FROM t)
+        SELECT doc_id,
+               ROUND(CASE WHEN len(lines) > 0 THEN
+                       (len(lines) - len(list_distinct(lines)))
+                       / CAST(len(lines) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_line_frac,
+               ROUND({top_frac('g2')}, 6) AS top2_char_frac,
+               ROUND({top_frac('g3')}, 6) AS top3_char_frac,
+               ROUND({dup5}, 6) AS dup5_char_frac
+        FROM g"""
+
+
+_SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 2, 0.3
+
+
+def q_embed_semantic_dedup(spark, sf):
+    """SemDeDup: deterministic k-means (similarity.kmeans_assign) then
+    exact cosine within each cluster (semantic_near_duplicates)."""
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    _check_ann_fixture(emb.count(), dim)
+    return similarity.semantic_near_duplicates(
+        emb, dim=dim, k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD)
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+    """WITH-clause prefix ending in a{iters} AS (vec_id, cluster, v): the
+    SQL twin of similarity.kmeans_assign — same smallest-vec_id init, the
+    same ROUND(d2, 9) argmin (see kmeans_assign's fp note), the same
+    empty-cluster carry-forward."""
+    avg_vec = "[" + ", ".join(f"avg(v[{i}])" for i in range(1, dim + 1)) + "]"
+    out = f"""e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+          FROM embeddings),
+        nv AS (
+          SELECT vec_id,
+                 list_transform(raw, x -> x / sqrt(list_sum(
+                   list_transform(raw, y -> y * y)))) AS v
+          FROM e),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c
+               FROM nv WHERE vec_id < {k})"""
+    for t in range(iters):
+        d2 = (f"list_sum(list_transform(range(1, {dim + 1}), "
+              f"i -> (nv.v[i] - c{t}.c[i]) * (nv.v[i] - c{t}.c[i])))")
+        out += f""",
+        a{t + 1} AS (
+          SELECT vec_id, cluster, v FROM (
+            SELECT nv.vec_id, c{t}.cluster, nv.v,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY nv.vec_id
+                     ORDER BY ROUND({d2}, 9), c{t}.cluster) AS rn
+            FROM nv CROSS JOIN c{t}) WHERE rn = 1)"""
+        if t + 1 < iters:  # the final assignment needs no centroid update
+            out += f""",
+        m{t + 1} AS (SELECT cluster, {avg_vec} AS cn
+                     FROM a{t + 1} GROUP BY cluster),
+        c{t + 1} AS (SELECT c{t}.cluster, COALESCE(m{t + 1}.cn, c{t}.c) AS c
+                     FROM c{t} LEFT JOIN m{t + 1} USING (cluster))"""
+    return out
+
+
+def _semantic_dedup_oracle() -> str:
+    dim = _ANN_DIM
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {a}.raw[i] * {b}.raw[i]))")
+
+    cos = (f"{dot('ea', 'eb')} / (sqrt({dot('ea', 'ea')}) "
+           f"* sqrt({dot('eb', 'eb')}))")
+    return f"""
+        WITH {_kmeans_ctes(_SEM_K, _SEM_ITERS, _ANN_DIM)},
+        p AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster
+          FROM a{_SEM_ITERS} x JOIN a{_SEM_ITERS} y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+        s AS (
+          SELECT p.vec_a, p.vec_b, p.cluster, {cos} AS cosr
+          FROM p JOIN e ea ON ea.vec_id = p.vec_a
+                 JOIN e eb ON eb.vec_id = p.vec_b)
+        SELECT vec_a, vec_b, CAST(cluster AS INT) AS cluster,
+               ROUND(cosr, 6) AS cos
+        FROM s WHERE cosr >= {_SEM_THRESHOLD}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seen_antijoin_dedup": q_seen_antijoin_dedup,
@@ -719,10 +889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_block_dedup": q_doc_block_dedup,
+        "doc_gopher": q_doc_gopher,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
         "embed_near_dup": q_embed_near_dup,
+        "embed_semantic_dedup": q_embed_semantic_dedup,
         "media_features": q_media_features,
         "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
@@ -1019,4 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
+        "doc_block_dedup": _block_dedup_oracle(),
+        "doc_gopher": _gopher_oracle(),
+        "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

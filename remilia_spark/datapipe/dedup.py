@@ -128,6 +128,55 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return jaccard_pairs(df, pairs, text_col, k, threshold)
 
 
+def remove_duplicate_blocks(df: DataFrame, text_col: str = "text",
+                            block_tokens: int = 8) -> DataFrame:
+    """(doc_id, n_blocks, n_kept, text_kept) — corpus-wide duplicate-passage
+    removal at disjoint token-block granularity.
+
+    The batch re-expression of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021): instead
+    of a suffix array over the concatenated corpus, each document is cut
+    into disjoint ``block_tokens``-word blocks; a block whose text appears
+    anywhere earlier in the corpus — global order = (doc_id, block_idx) —
+    is dropped, and the survivors re-join in order.  Suffix-array
+    sharpness (arbitrary-offset matches) is traded for a plan that is a
+    pure shuffle on a 60-bit block hash.
+
+    Scale (100 TB): only (block_hash, doc_id, block_idx, block) rows
+    shuffle — never whole documents; block hashes are near-uniform so the
+    first-occurrence window has no hot keys; reassembly is one groupBy on
+    doc_id.  Token-less docs pass through with n_blocks = 0.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_blocks = F.ceil(n / F.lit(float(block_tokens))).cast("int")
+    blocks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * block_tokens + 1, block_tokens)),
+    )).otherwise(F.array().cast("array<string>"))
+    rows = df.select("doc_id", F.posexplode(blocks).alias("block_idx", "block"))
+    w = Window.partitionBy(word_hash(F.col("block"))) \
+              .orderBy("doc_id", "block_idx")
+    flagged = rows.withColumn("rn", F.row_number().over(w))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+         .cast("long").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("rn") == 1,
+                       F.struct(F.col("block_idx"), F.col("block"))))),
+            lambda s: s.getField("block"))).alias("text_kept"),
+    )
+    return df.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = 48) -> DataFrame:
     """(doc_id, simhash) — term-frequency-weighted SimHash, ``bits`` wide.

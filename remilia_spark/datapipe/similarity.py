@@ -232,6 +232,98 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def kmeans_assign(corpus: DataFrame, dim: int, k: int = 8,
+                  iters: int = 2) -> DataFrame:
+    """(vec_id, cluster) — deterministic Lloyd k-means over L2-normalized
+    embeddings: the clustering step of SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication").
+
+    Determinism contract (oracle/resume-stable): init centroids are the
+    ``k`` smallest ``vec_id`` vectors; argmin ties break to the smaller
+    cluster id; a cluster that loses all members keeps its previous
+    centroid.  No RNG anywhere, so the assignment is a pure function of
+    the table.
+
+    Scale (100 TB): each iteration is one broadcast-centroid pass over the
+    corpus (k ≪ n, so the crossJoin is the k-fanout map every k-means
+    does) followed by a k-group per-dimension avg — partial-aggregatable
+    JVM expressions.  Returned assignment is the one computed against the
+    iteration-``iters`` centroids.
+    """
+    nrm = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("raw"),
+    ).select(
+        "vec_id",
+        F.transform("raw",
+                    lambda x: x / F.sqrt(_dot("raw", "raw"))).alias("v"),
+    )
+    cent = nrm.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
+    assign = None
+    for _ in range(max(1, iters)):
+        d2 = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        # argmin on ROUNDED distance: the centroid avg is a fp partial-sum
+        # whose last-ulp value depends on aggregation order (Spark
+        # partitioning, or Spark vs the DuckDB oracle).  Rounding to 9dp
+        # absorbs that ~1e-14 jitter; genuine near-ties become exact ties
+        # and fall through to the total cluster-id tiebreak identically
+        # everywhere.
+        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9).asc(),
+                                                 F.col("cluster").asc())
+        assign = (
+            nrm.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cluster", "v", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster", "v")
+        )
+        newc = assign.groupBy("cluster").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cn"))
+        cent = cent.join(newc, "cluster", "left").select(
+            "cluster", F.coalesce("cn", "c").alias("c"))
+    return assign.select("vec_id", "cluster")
+
+
+def semantic_near_duplicates(corpus: DataFrame, dim: int, k: int = 8,
+                             iters: int = 2,
+                             threshold: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cluster, cos) — SemDeDup: k-means partition, then
+    exact cosine verify strictly within each cluster.
+
+    Candidate volume drops from n² to Σ_c n_c² ≈ n²/k (balanced case) —
+    the quadratic pair search never crosses a cluster boundary, which is
+    exactly the approximation SemDeDup makes (cross-cluster near-dups are
+    sacrificed for scalability; recall vs the exact pass is measured in
+    tests, mirroring the ANN recall gate).  Threshold applies to the RAW
+    cosine; only the output column is rounded (6dp).
+    """
+    a = kmeans_assign(corpus, dim, k, iters)
+    e = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pairs = (
+        a.select(F.col("vec_id").alias("vec_a"), "cluster")
+        .join(a.select(F.col("vec_id").alias("vec_b"), "cluster"), "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+    )
+    raw = _dot("va", "vb") / (F.sqrt(_dot("va", "va"))
+                              * F.sqrt(_dot("vb", "vb")))
+    return (
+        pairs
+        .join(e.select(F.col("vec_id").alias("vec_a"),
+                       F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"),
+                       F.col("v").alias("vb")), "vec_b")
+        .where(raw >= threshold)
+        .select("vec_a", "vec_b", F.col("cluster").cast("int"),
+                F.round(raw, 6).alias("cos"))
+    )
+
+
 def embedding_near_duplicates(corpus: DataFrame, dim: int,
                               threshold: float = 0.95,
                               planes: int | None = None, tables: int = 8,

@@ -107,6 +107,77 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams (space-joined) of a token array; [] when
+    the doc has fewer than n tokens."""
+    sz = F.size(toks)
+    return F.when(sz >= n, F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals from the Gopher rules (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", table A1):
+
+    * dup_line_frac   — fraction of '\\n'-split lines that repeat an
+      earlier line: (n_lines - n_distinct) / n_lines
+    * top2_char_frac  — fraction of (space-normalized) characters covered
+      by the most frequent word 2-gram: max_g count(g)*len(g) / chars.
+      Overlapping occurrences can push this past 1.0 on degenerate docs
+      ("line line line"); kept uncapped to match the paper's count*len
+      accounting — downstream filters threshold at ~0.2 anyway
+    * top3_char_frac  — same for 3-grams
+    * dup5_char_frac  — fraction of characters covered by 5-grams that
+      occur more than once: sum_{count(g)>1} count(g)*len(g) / chars,
+      capped at 1 (overlapping grams can over-count)
+
+    All four are per-row higher-order-function expressions — whole-stage
+    codegen, zero shuffle, a pure map at 100 TB.  Character totals use the
+    single-space re-join of the token array so whitespace runs don't skew
+    the denominators.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(F.lower(t))
+    chars = F.length(F.concat_ws(" ", toks))
+
+    def top_frac(n: int) -> Column:
+        g = _word_ngrams(toks, n)
+        covered = F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)) * F.length(x))
+        return F.when((F.size(g) > 0) & (chars > 0),
+                      F.array_max(covered) / chars).otherwise(F.lit(0.0))
+
+    g5 = _word_ngrams(toks, 5)
+    dup5_covered = F.aggregate(
+        F.transform(
+            F.array_distinct(g5),
+            lambda x: F.when(
+                F.size(F.filter(g5, lambda y: y == x)) > 1,
+                F.size(F.filter(g5, lambda y: y == x)) * F.length(x)
+            ).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    dup5 = F.when(chars > 0, F.least(
+        F.lit(1.0), dup5_covered / chars)).otherwise(F.lit(0.0))
+
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dup_lines = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    return df.select(
+        "doc_id",
+        F.round(dup_lines, 6).alias("dup_line_frac"),
+        F.round(top_frac(2), 6).alias("top2_char_frac"),
+        F.round(top_frac(3), 6).alias("top3_char_frac"),
+        F.round(dup5, 6).alias("dup5_char_frac"),
+    )
+
+
 def word_hash(col: Column) -> Column:
     """60-bit md5-derived hash — DuckDB-replicable (see module docstring)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
