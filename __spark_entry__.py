@@ -794,6 +794,51 @@ def _gopher_oracle() -> str:
         FROM g"""
 
 
+_DECON_N = 13          # 13-gram overlap, the GPT-3 appendix-C rule
+_DECON_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark
+
+
+def q_doc_decontaminate(spark, sf):
+    """Test-set decontamination (dedup.benchmark_contamination): flag every
+    training doc sharing a 13-gram with the benchmark split."""
+    docs = _read(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return dedup.benchmark_contamination(train, bench, n=_DECON_N)
+
+
+def _decontaminate_oracle() -> str:
+    n, mod = _DECON_N, _DECON_BENCH_MOD
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    gh = _HASH60_SQL.format(x="gram")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks_l} AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= {n} THEN
+                   list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                                  for i in range(1, len(toks) - {n} + 2)])
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM t),
+        bg AS (
+          SELECT DISTINCT {gh} AS gh
+          FROM (SELECT unnest(grams) AS gram FROM g
+                WHERE doc_id % {mod} = 0)),
+        e AS (
+          SELECT doc_id, {gh} AS gh
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                WHERE doc_id % {mod} <> 0)),
+        a AS (
+          SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(COUNT(bg.gh) AS BIGINT) AS n_hits
+          FROM e LEFT JOIN bg USING (gh) GROUP BY e.doc_id)
+        SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+               COALESCE(a.n_hits, 0) AS n_hits,
+               COALESCE(a.n_hits, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+        LEFT JOIN a USING (doc_id)"""
+
+
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 2, 0.3
 
 
@@ -891,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_block_dedup": q_doc_block_dedup,
         "doc_gopher": q_doc_gopher,
+        "doc_decontaminate": q_doc_decontaminate,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1194,5 +1240,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
         "doc_gopher": _gopher_oracle(),
+        "doc_decontaminate": _decontaminate_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

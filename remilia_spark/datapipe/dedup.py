@@ -177,6 +177,55 @@ def remove_duplicate_blocks(df: DataFrame, text_col: str = "text",
     )
 
 
+def _distinct_ngrams(text_col: str, n: int):
+    """Distinct lowercased n-word grams of a text column; [] below n tokens."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    sz = F.size(toks)
+    return F.when(sz >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    ))).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_contamination(train: DataFrame, bench: DataFrame,
+                            text_col: str = "text", n: int = 8,
+                            broadcast_bench: bool = True) -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated) — test-set decontamination:
+    a training document is contaminated when any of its distinct lowercased
+    ``n``-word grams appears anywhere in the benchmark corpus (the n-gram
+    overlap rule used to de-duplicate eval sets out of web-scale training
+    data; 13-grams in the GPT-3 appendix-C formulation, ``n`` configurable
+    because real pipelines tune it per benchmark).
+
+    Scale (100 TB): the benchmark side is tiny by definition (eval sets,
+    not web dumps) — its distinct gram set reduces to 60-bit hashes and
+    broadcasts (``broadcast_bench``; flip off to shuffle-join if a huge
+    blocklist is used instead).  The training side never shuffles text:
+    grams hash per-row, the left join against the broadcast set is a map,
+    and the per-doc rollup is a partial-aggregatable count.  Gram-less
+    docs (< n tokens) pass through clean.
+    """
+    bg = (bench
+          .select(F.explode(_distinct_ngrams(text_col, n)).alias("gram"))
+          .select(word_hash(F.col("gram")).alias("gh"))
+          .distinct()
+          .withColumn("hit", F.lit(1)))
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    tg = train.select(
+        "doc_id",
+        F.explode_outer(_distinct_ngrams(text_col, n)).alias("gram"),
+    ).select("doc_id", word_hash(F.col("gram")).alias("gh"))
+    agg = tg.join(bg, "gh", "left").groupBy("doc_id").agg(
+        F.count("gh").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "doc_id", "n_grams", "n_hits",
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = 48) -> DataFrame:
     """(doc_id, simhash) — term-frequency-weighted SimHash, ``bits`` wide.

@@ -249,3 +249,25 @@ def test_semantic_dedup_recall_vs_exact(spark, semdedup_emb):
     assert recall[2] >= 0.55, f"SemDeDup recall@k=2 = {recall[2]:.3f}"
     assert recall[8] >= 0.25, f"SemDeDup recall@k=8 = {recall[8]:.3f}"
     assert recall[2] > recall[8]        # the n^2/k cut costs recall
+
+
+# --- test-set decontamination ------------------------------------------------
+
+def test_benchmark_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris is the answer")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "filler words then what is the capital of france paris"
+             " is the answer copied verbatim"),       # contains a bench 8-gram
+         (2, "a perfectly clean document with entirely original"
+             " phrasing and nothing shared"),
+         (3, "too short")],                            # < n tokens: 0 grams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.benchmark_contamination(train, bench, n=8)
+           .collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert len(out) == 3  # every train doc reported, hit or not
