@@ -794,6 +794,72 @@ def _gopher_oracle() -> str:
         FROM g"""
 
 
+def q_doc_quality_filter(spark, sf):
+    """Gopher-rule keep/drop decision (textstats.gopher_quality_filter) —
+    one projection over the quality + repetition signals."""
+    return textstats.gopher_quality_filter(_read(spark, sf, "documents"))
+
+
+def _quality_filter_oracle() -> str:
+    toks_q = _TOKS_SQL.format(t="text")
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+
+    def grams(n: int) -> str:
+        return (f"CASE WHEN len(toks) >= {n} THEN "
+                f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+                f"for i in range(1, len(toks) - {n} + 2)] "
+                f"ELSE CAST([] AS VARCHAR[]) END")
+
+    def top_frac(g: str) -> str:
+        return (f"CASE WHEN len({g}) > 0 AND chars > 0 THEN "
+                f"list_max(list_transform(list_distinct({g}), "
+                f"x -> len(list_filter({g}, y -> y = x)) * length(x))) "
+                f"/ chars ELSE 0.0 END")
+
+    dup5 = ("CASE WHEN chars > 0 THEN LEAST(1.0, COALESCE("
+            "list_sum(list_transform(list_distinct(g5), "
+            "x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1 "
+            "THEN len(list_filter(g5, y -> y = x)) * length(x) "
+            "ELSE 0 END)), 0) / chars) ELSE 0.0 END")
+    # mirror textstats.GOPHER_FILTER_RULES — same names, order, thresholds
+    rules = ("CASE WHEN nt < 20 THEN 'too_short' END, "
+             "CASE WHEN nt > 100000 THEN 'too_long' END, "
+             "CASE WHEN sr < 0.03 THEN 'stopword_sparse' END, "
+             "CASE WHEN pr > 0.20 THEN 'punct_heavy' END, "
+             "CASE WHEN dl > 0.30 THEN 'dup_lines' END, "
+             "CASE WHEN t2 > 0.20 THEN 'top2_repetitive' END, "
+             "CASE WHEN t3 > 0.18 THEN 'top3_repetitive' END, "
+             "CASE WHEN d5 > 0.15 THEN 'dup5_repetitive' END")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {toks_q} AS toks_q, {toks_l} AS toks,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+                 length(text) AS nc,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        g AS (
+          SELECT doc_id, lines, len(toks_q) AS nt,
+                 CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE)
+                      ELSE 0.0 END AS pr,
+                 CASE WHEN len(toks_q) > 0 THEN
+                   len(list_filter(toks_q,
+                       w -> list_contains({_STOPS_SQL}, lower(w))))
+                   / CAST(len(toks_q) AS DOUBLE) ELSE 0.0 END AS sr,
+                 length(array_to_string(toks, ' ')) AS chars,
+                 {grams(2)} AS g2, {grams(3)} AS g3, {grams(5)} AS g5
+          FROM t),
+        s AS (
+          SELECT doc_id, nt, pr, sr,
+                 CASE WHEN len(lines) > 0 THEN
+                   (len(lines) - len(list_distinct(lines)))
+                   / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS dl,
+                 {top_frac('g2')} AS t2, {top_frac('g3')} AS t3,
+                 {dup5} AS d5
+          FROM g),
+        r AS (SELECT doc_id, concat_ws(',', {rules}) AS reasons FROM s)
+        SELECT doc_id, reasons = '' AS keep, reasons FROM r"""
+
+
 _DECON_N = 13          # 13-gram overlap, the GPT-3 appendix-C rule
 _DECON_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark
 
@@ -936,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_block_dedup": q_doc_block_dedup,
         "doc_gopher": q_doc_gopher,
+        "doc_quality_filter": q_doc_quality_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
@@ -1240,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
         "doc_gopher": _gopher_oracle(),
+        "doc_quality_filter": _quality_filter_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

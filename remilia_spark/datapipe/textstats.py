@@ -59,12 +59,9 @@ def subtoken_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/punctuation/stopword heuristics + a composite score.
-
-    score = 0.4*min(1, n_tokens/100) + 0.3*stopword_ratio
-          + 0.3*(1 - min(1, 4*punct_ratio)), rounded to 6 dp.
-    """
+def _quality_signal_cols(text_col: str) -> dict[str, Column]:
+    """Raw (unrounded) length/punct/stopword signal columns — shared by
+    quality_score and gopher_quality_filter so both see identical math."""
     t = F.col(text_col)
     toks = tokens_col(t)
     n_tok = F.size(toks)
@@ -72,18 +69,33 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, F.lower(w))))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_chars = F.length(t)
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars)
+                        .otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok)
+                           .otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword heuristics + a composite score.
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*stopword_ratio
+          + 0.3*(1 - min(1, 4*punct_ratio)), rounded to 6 dp.
+    """
+    s = _quality_signal_cols(text_col)
     score = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
-        + F.lit(0.3) * stop_ratio
-        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio))
+        F.lit(0.4) * F.least(F.lit(1.0), s["n_tokens"] / F.lit(100.0))
+        + F.lit(0.3) * s["stopword_ratio"]
+        + F.lit(0.3) * (F.lit(1.0)
+                        - F.least(F.lit(1.0), F.lit(4.0) * s["punct_ratio"]))
     )
     return df.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        s["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
     )
 
@@ -138,6 +150,19 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     single-space re-join of the token array so whitespace runs don't skew
     the denominators.
     """
+    s = _gopher_signal_cols(text_col)
+    return df.select(
+        "doc_id",
+        F.round(s["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(s["top2_char_frac"], 6).alias("top2_char_frac"),
+        F.round(s["top3_char_frac"], 6).alias("top3_char_frac"),
+        F.round(s["dup5_char_frac"], 6).alias("dup5_char_frac"),
+    )
+
+
+def _gopher_signal_cols(text_col: str) -> dict[str, Column]:
+    """Raw (unrounded) Gopher repetition signal columns — shared by
+    gopher_repetition and gopher_quality_filter."""
     t = F.col(text_col)
     toks = tokens_col(F.lower(t))
     chars = F.length(F.concat_ws(" ", toks))
@@ -168,13 +193,56 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_lines > 0,
         (n_lines - F.size(F.array_distinct(lines))) / n_lines
     ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": dup_lines,
+        "top2_char_frac": top_frac(2),
+        "top3_char_frac": top_frac(3),
+        "dup5_char_frac": dup5,
+    }
 
+
+# (rule name, signal key, comparison, default threshold) — fixed order; the
+# reasons string lists failed rules in this order.  Thresholds are the
+# Gopher table-A1 ballpark where a signal maps 1:1, else pipeline-common.
+GOPHER_FILTER_RULES = (
+    ("too_short", "n_tokens", "lt", 20),
+    ("too_long", "n_tokens", "gt", 100_000),
+    ("stopword_sparse", "stopword_ratio", "lt", 0.03),
+    ("punct_heavy", "punct_ratio", "gt", 0.20),
+    ("dup_lines", "dup_line_frac", "gt", 0.30),
+    ("top2_repetitive", "top2_char_frac", "gt", 0.20),
+    ("top3_repetitive", "top3_char_frac", "gt", 0.18),
+    ("dup5_repetitive", "dup5_char_frac", "gt", 0.15),
+)
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          overrides: dict[str, float] | None = None
+                          ) -> DataFrame:
+    """(doc_id, keep, reasons) — the keep/drop decision layer over the
+    quality + Gopher repetition signals: ``keep`` is true iff no rule in
+    GOPHER_FILTER_RULES fires; ``reasons`` is the comma-joined failed-rule
+    names in fixed rule order ('' when kept).
+
+    Single-pass by construction: both signal families are column
+    expressions over the same row, so the whole filter is ONE projection —
+    one scan, zero shuffle, whole-stage codegen — rather than a join of
+    the two signal operators.  Thresholds compare RAW ratios (integer
+    ratios are IEEE-identical across engines); ``overrides`` replaces any
+    rule's threshold by name.
+    """
+    ov = overrides or {}
+    sig = {**_quality_signal_cols(text_col), **_gopher_signal_cols(text_col)}
+    fails = []
+    for name, key, op, thr in GOPHER_FILTER_RULES:
+        thr = ov.get(name, thr)
+        cond = sig[key] < F.lit(thr) if op == "lt" else sig[key] > F.lit(thr)
+        fails.append(F.when(cond, F.lit(name)))
+    reasons = F.concat_ws(",", *fails)  # concat_ws skips the NULL (passed) slots
     return df.select(
         "doc_id",
-        F.round(dup_lines, 6).alias("dup_line_frac"),
-        F.round(top_frac(2), 6).alias("top2_char_frac"),
-        F.round(top_frac(3), 6).alias("top3_char_frac"),
-        F.round(dup5, 6).alias("dup5_char_frac"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     )
 
 

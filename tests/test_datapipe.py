@@ -271,3 +271,37 @@ def test_benchmark_contamination(spark):
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
     assert len(out) == 3  # every train doc reported, hit or not
+
+
+# --- Gopher keep/drop filter -------------------------------------------------
+
+def test_gopher_quality_filter(spark):
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away to find a place where it can rest for a while "
+            "under the old oak tree near the quiet river bank at dusk")
+    rows = [
+        (1, good),                                         # passes every rule
+        (2, "way too short"),                              # too_short (+sparse)
+        (3, "spam " * 30 + "the of and to a in is it that was for on are"),
+        (4, ""),                                           # everything length-ish
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.gopher_quality_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"] and "too_short" in out[2]["reasons"]
+    # doc 3: 43 tokens of which 30 are 'spam' -> repetition rules fire,
+    # and reasons respect the fixed rule order (top2 before top3 ...)
+    r3 = out[3]["reasons"].split(",")
+    assert "top2_repetitive" in r3 and "dup5_repetitive" in r3
+    assert r3 == [n for n, *_ in textstats.GOPHER_FILTER_RULES if n in r3]
+    assert not out[4]["keep"]
+    # overrides rewire a single threshold by rule name: the two length
+    # rules stop firing on doc 2 (its trivial 2-gram repetition remains)
+    relaxed = {r["doc_id"]: r["reasons"]
+               for r in textstats.gopher_quality_filter(
+                   docs, overrides={"too_short": 1,
+                                    "stopword_sparse": 0.0}).collect()}
+    assert "too_short" not in relaxed[2]
+    assert "stopword_sparse" not in relaxed[2]
+    assert "top2_repetitive" in relaxed[2]
