@@ -905,6 +905,66 @@ def _decontaminate_oracle() -> str:
         LEFT JOIN a USING (doc_id)"""
 
 
+# corpus mixing: per-language sample fractions + shard token budget.
+# The Spark side and the SQL oracle derive their keep thresholds from the
+# SAME _threshold_hex call, so the decision replays byte-for-byte.
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 1.0, "fr": 0.1}
+_MIX_SEED = 42
+_SHARD_TARGET = 500
+
+
+def q_doc_stratified_sample(spark, sf):
+    """Deterministic per-language bernoulli sample for corpus mixing
+    (sampling.stratified_sample): keep iff md5(doc_id:seed)[:8] falls
+    under the stratum's threshold — zero shuffles, broadcast thresholds."""
+    from remilia_spark.datapipe import sampling
+
+    return sampling.stratified_sample(
+        _read(spark, sf, "documents"), _MIX_FRACTIONS,
+        seed=_MIX_SEED).select("doc_id", "lang")
+
+
+def _stratified_sample_oracle() -> str:
+    from remilia_spark.datapipe.sampling import _threshold_hex
+
+    vals = ", ".join(
+        f"('{s}', '{_threshold_hex(f)}')"
+        for s, f in sorted(_MIX_FRACTIONS.items()))
+    return f"""
+        WITH thr(lang, t) AS (VALUES {vals})
+        SELECT d.doc_id, d.lang
+        FROM documents d LEFT JOIN thr USING (lang)
+        WHERE substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+                                '{_MIX_SEED}')), 1, 8)
+              < coalesce(t, '00000000')"""
+
+
+def q_doc_token_shards(spark, sf):
+    """Token-budget shard packing (sampling.pack_token_shards): greedy
+    sequential fill via a distributed prefix sum — equals the global
+    SUM() OVER (ORDER BY doc_id) window without its one-task sort."""
+    from remilia_spark.datapipe import sampling
+
+    return sampling.pack_token_shards(
+        _read(spark, sf, "documents"), target_tokens=_SHARD_TARGET)
+
+
+def _token_shards_oracle() -> str:
+    toks = _TOKS_SQL.format(t="text")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens,
+               CAST((cum - n_tokens) // {_SHARD_TARGET} AS BIGINT) AS shard
+        FROM c"""
+
+
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 2, 0.3
 
 
@@ -1004,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher": q_doc_gopher,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_token_shards": q_doc_token_shards,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1309,5 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher": _gopher_oracle(),
         "doc_quality_filter": _quality_filter_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),
+        "doc_stratified_sample": _stratified_sample_oracle(),
+        "doc_token_shards": _token_shards_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }
