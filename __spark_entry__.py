@@ -965,6 +965,75 @@ def _token_shards_oracle() -> str:
         FROM c"""
 
 
+_LM_REF_LANG = "en"
+
+
+def q_doc_lm_bucket(spark, sf):
+    """CCNet-style LM quality bucketing (datapipe.lm): add-one bigram LM
+    trained on the in-domain (lang=en) slice, every doc scored by mean
+    conditional likelihood (ordered fold — bit-identical doubles), then
+    an exact head/middle/tail percentile split via the range-partitioned
+    global rank."""
+    from remilia_spark.datapipe import lm
+
+    docs = _read(spark, sf, "documents")
+    model = lm.train_bigram_lm(docs.where(F.col("lang") == _LM_REF_LANG))
+    return lm.lm_quality_buckets(lm.lm_likelihood(docs, model))
+
+
+def _lm_bucket_oracle() -> str:
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, {toks_l} AS t FROM documents),
+        bg AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> {{'pos': i, 'w1': t[i], 'w2': t[i + 1]}}),
+                        recursive := true)
+          FROM toks),
+        uni AS (
+          SELECT w, count(*) AS c1
+          FROM (SELECT unnest(t) AS w FROM toks
+                WHERE lang = '{_LM_REF_LANG}')
+          GROUP BY w),
+        bi AS (
+          SELECT w1, w2, count(*) AS c2
+          FROM bg WHERE lang = '{_LM_REF_LANG}' GROUP BY w1, w2),
+        v AS (SELECT count(*) AS vs FROM uni),
+        p AS (
+          SELECT bg.doc_id, bg.pos,
+                 CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(uni.c1, 0) + v.vs AS DOUBLE) AS p
+          FROM bg
+          LEFT JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+          LEFT JOIN uni ON uni.w = bg.w1
+          CROSS JOIN v),
+        s AS (
+          -- list_reduce over the pos-ordered list with a 0.0 seed is the
+          -- same left fold as Spark's F.aggregate: bit-identical doubles
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 ROUND(list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                                   (a, b) -> a + b) / count(*), 6)
+                   AS lm_score
+          FROM p GROUP BY doc_id),
+        f AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 coalesce(s.lm_score, 0.0) AS lm_score
+          FROM documents d LEFT JOIN s USING (doc_id)),
+        r AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY lm_score, doc_id) - 1
+                      AS BIGINT) AS lm_rank,
+                 (SELECT count(*) FROM f) AS n
+          FROM f)
+        SELECT doc_id, n_bigrams, lm_score, lm_rank,
+               (['tail', 'middle', 'head'])[
+                 CAST((lm_rank * 3) // n AS INT) + 1] AS bucket
+        FROM r"""
+
+
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 2, 0.3
 
 
@@ -1066,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_shards": q_doc_token_shards,
+        "doc_lm_bucket": q_doc_lm_bucket,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1373,5 +1443,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _decontaminate_oracle(),
         "doc_stratified_sample": _stratified_sample_oracle(),
         "doc_token_shards": _token_shards_oracle(),
+        "doc_lm_bucket": _lm_bucket_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }
