@@ -965,6 +965,76 @@ def _token_shards_oracle() -> str:
         FROM c"""
 
 
+_RC_K, _RC_HOSTS, _RC_EPOCH = 6, 40, 1_704_067_200
+_RC_BASE, _RC_MIN, _RC_MAX = 8 * 86400, 43200, 16 * 86400
+
+
+def q_url_recrawl(spark, sf):
+    """Recrawl scheduling (remilia_spark.recrawl): a deterministic 6-fetch
+    history is synthesized per document (content fingerprint rolls over
+    every `period = 1 + doc_id % 4` fetches), then change-rate estimation
+    and the clamped next-interval rule produce the per-url revisit plan."""
+    from remilia_spark import recrawl
+
+    hist = (
+        _read(spark, sf, "documents")
+        .select(
+            F.concat(F.lit("https://host"),
+                     (F.col("doc_id") % _RC_HOSTS).cast("string"),
+                     F.lit(".test/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(_RC_K - 1)))
+            .alias("fetch_idx"))
+        .withColumn("period", F.col("doc_id") % 4 + 1)
+        .select(
+            "url",
+            F.col("fetch_idx").cast("long").alias("fetch_idx"),
+            (F.lit(_RC_EPOCH) + F.col("fetch_idx") * 86400).cast("long")
+            .alias("fetch_epoch"),
+            F.md5(F.concat(
+                F.col("text"), F.lit("#"),
+                F.expr("CAST(fetch_idx div period AS STRING)")))
+            .alias("content_hash")))
+    return recrawl.recrawl_schedule(
+        hist, base_interval_s=_RC_BASE, min_interval_s=_RC_MIN,
+        max_interval_s=_RC_MAX)
+
+
+def _recrawl_oracle() -> str:
+    nxt = (f"GREATEST({_RC_MIN}, LEAST({_RC_MAX}, "
+           f"{_RC_BASE} // (1 + n_changes)))")
+    return f"""
+        WITH h AS (
+          SELECT 'https://host' || CAST(doc_id % {_RC_HOSTS} AS VARCHAR)
+                   || '.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 f.i AS fetch_idx,
+                 {_RC_EPOCH} + f.i * 86400 AS fetch_epoch,
+                 md5(text || '#'
+                     || CAST(f.i // (doc_id % 4 + 1) AS VARCHAR))
+                   AS content_hash
+          FROM documents, (SELECT unnest(range(0, {_RC_K})) AS i) f),
+        c AS (
+          SELECT url, fetch_epoch,
+                 CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                       AND content_hash <> lag(content_hash) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM h WINDOW w AS (PARTITION BY url ORDER BY fetch_idx)),
+        s AS (
+          SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+                 CAST(sum(chg) AS BIGINT) AS n_changes,
+                 max(fetch_epoch) AS last_epoch
+          FROM c GROUP BY url)
+        SELECT url, n_fetches, n_changes,
+               CASE WHEN n_fetches > 1
+                    THEN ROUND(CAST(n_changes AS DOUBLE)
+                               / CAST(n_fetches - 1 AS DOUBLE), 6)
+                    ELSE 0.0 END AS change_rate,
+               CAST({nxt} AS BIGINT) AS next_interval_s,
+               CAST(last_epoch + {nxt} AS BIGINT) AS next_fetch_epoch
+        FROM s"""
+
+
 _LM_REF_LANG = "en"
 
 
@@ -1136,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_shards": q_doc_token_shards,
         "doc_lm_bucket": q_doc_lm_bucket,
+        "url_recrawl": q_url_recrawl,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1444,5 +1515,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_sample_oracle(),
         "doc_token_shards": _token_shards_oracle(),
         "doc_lm_bucket": _lm_bucket_oracle(),
+        "url_recrawl": _recrawl_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }
