@@ -1035,6 +1035,62 @@ def _recrawl_oracle() -> str:
         FROM s"""
 
 
+_ANCH_K = 3
+
+
+def q_link_anchor_topk(spark, sf):
+    """Per-target top-k anchor texts (graph.top_anchor_texts) over a
+    deterministic synthesized anchor stream (mixed-case / extra-whitespace
+    variants exercise the normalization): the aggregation the anchor
+    extraction pass (extract.anchors_map_in_pandas) feeds at crawl scale."""
+    from remilia_spark.datapipe import graph
+
+    base = (F.col("doc_id") + F.col("i")) % 9
+    e = (
+        _read(spark, sf, "documents")
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"))
+        .select(
+            F.concat(F.lit("https://host"),
+                     ((F.col("doc_id") * 31 + F.col("i") * 7) % 16)
+                     .cast("string"),
+                     F.lit(".test/p/"),
+                     ((F.col("doc_id") * 13 + F.col("i") * 5) % 120)
+                     .cast("string")).alias("href"),
+            F.when((F.col("doc_id") + F.col("i")) % 2 == 0,
+                   F.concat(F.lit("Link  "), base.cast("string")))
+            .otherwise(F.concat(F.lit("link "), base.cast("string")))
+            .alias("anchor")))
+    return graph.top_anchor_texts(e, k=_ANCH_K)
+
+
+def _anchor_topk_oracle() -> str:
+    return f"""
+        WITH raw AS (
+          SELECT 'https://host' || CAST((doc_id * 31 + f.i * 7) % 16
+                                        AS VARCHAR)
+                   || '.test/p/' || CAST((doc_id * 13 + f.i * 5) % 120
+                                         AS VARCHAR) AS dst,
+                 CASE WHEN (doc_id + f.i) % 2 = 0
+                      THEN 'Link  ' || CAST((doc_id + f.i) % 9 AS VARCHAR)
+                      ELSE 'link ' || CAST((doc_id + f.i) % 9 AS VARCHAR)
+                 END AS anchor
+          FROM documents, (SELECT unnest(range(0, 5)) AS i) f),
+        norm AS (
+          SELECT dst,
+                 trim(regexp_replace(lower(anchor), '\\s+', ' ', 'g'))
+                   AS anchor
+          FROM raw),
+        c AS (
+          SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+          FROM norm GROUP BY dst, anchor)
+        SELECT dst, anchor, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY dst
+                                       ORDER BY n DESC, anchor)
+                    AS BIGINT) AS rank
+        FROM c QUALIFY rank <= {_ANCH_K}"""
+
+
 _LM_REF_LANG = "en"
 
 
@@ -1207,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_shards": q_doc_token_shards,
         "doc_lm_bucket": q_doc_lm_bucket,
         "url_recrawl": q_url_recrawl,
+        "link_anchor_topk": q_link_anchor_topk,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1516,5 +1573,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_shards": _token_shards_oracle(),
         "doc_lm_bucket": _lm_bucket_oracle(),
         "url_recrawl": _recrawl_oracle(),
+        "link_anchor_topk": _anchor_topk_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

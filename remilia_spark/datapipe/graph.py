@@ -186,3 +186,38 @@ def pagerank_py(edge_list, iterations: int = 3) -> dict[int, int]:
         r = {v: teleport + _DAMP_NUM * (contrib[v] + dang) // _DAMP_DEN
              for v in nodes}
     return r
+
+
+def top_anchor_texts(anchors: DataFrame, k: int = 3,
+                     dst_col: str = "href", anchor_col: str = "anchor",
+                     normalize: bool = True) -> DataFrame:
+    """Per-target top-k anchor texts — the classic web-corpus enrichment
+    (anchor text describes the *target* page better than the page itself;
+    search engines and LLM-pretraining URL classifiers both consume it).
+
+    Input is the anchor pass output (`extract.anchors_map_in_pandas`):
+    one row per ``<a href=…>`` occurrence.  ``normalize`` lowercases and
+    collapses inner whitespace so casing variants aggregate together.
+
+    Plan at 10^10 anchors: groupBy (dst, anchor) is map-side combinable
+    (the heavy reduction happens before the shuffle); the row_number
+    window then runs per-dst over the already-aggregated counts, whose
+    group size is the number of DISTINCT anchor strings per target —
+    bounded in practice, never the raw in-link count.  Ties break on the
+    anchor string so output is total-ordered and oracle-exact.
+
+    Output: (dst, anchor, n, rank), rank 1..k by (n desc, anchor asc).
+    """
+    from pyspark.sql import Window
+
+    a = F.col(anchor_col)
+    if normalize:
+        a = F.trim(F.regexp_replace(F.lower(a), r"\s+", " "))
+    counts = (
+        anchors.select(F.col(dst_col).alias("dst"), a.alias("anchor"))
+        .groupBy("dst", "anchor").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))

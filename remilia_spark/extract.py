@@ -97,6 +97,98 @@ def extract_text(html: bytes | str, charset: str = "utf-8") -> str:
     return extract(html, charset)[1]
 
 
+# ---------------------------------------------------------------------------
+# anchor-text extraction (separate pass; the frozen link/text spec above is
+# untouched — goldens and the pages.text invariant do not depend on this)
+# ---------------------------------------------------------------------------
+
+# mapInPandas output schema for the anchor pass: one row per href-bearing
+# <a> element, document order.
+ANCHOR_SCHEMA = "url string, href string, anchor string"
+
+
+class _AnchorExtractor(HTMLParser):
+    """(href, inner text) per ``<a href=…>`` element.
+
+    Spec (pinned like the extractor above):
+
+    * any ``<a>`` start tag closes a currently-open anchor first (HTML5
+      tree construction — ``<a>`` cannot nest);
+    * only href-bearing anchors are emitted; an ``<a>`` without href still
+      closes the open one but emits nothing itself;
+    * anchor text is the whitespace-collapsed character data between the
+      start tag and its close; kept even when empty (image-only anchors
+      still carry their href);
+    * EOF closes an open anchor (same philosophy as ``flush_open``).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _close(self) -> None:
+        if self._href is not None:
+            self.anchors.append(
+                (self._href, " ".join("".join(self._buf).split())))
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        self._close()
+        for k, v in attrs:
+            if k == "href" and v is not None:
+                self._href = v
+                break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+
+def extract_anchors(html: bytes | str,
+                    charset: str = "utf-8") -> list[tuple[str, str]]:
+    """[(href, anchor_text), …] in document order per the pinned spec."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode(charset, errors="replace")
+    p = _AnchorExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was extracted before the error
+    p._close()
+    return p.anchors
+
+
+def anchors_map_in_pandas(charset: str = "utf-8"):
+    """Factory for the anchor pass: ``pages.select("url", "html")
+    .mapInPandas(anchors_map_in_pandas(), ANCHOR_SCHEMA)`` — rows arrive
+    pre-exploded (url, href, anchor), so the downstream aggregation
+    (`datapipe.graph.top_anchor_texts`) starts from a plain shuffle on the
+    target key with no array handling."""
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hrefs, texts = [], [], []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                for href, anchor in extract_anchors(h, charset):
+                    urls.append(u)
+                    hrefs.append(href)
+                    texts.append(anchor)
+            yield pd.DataFrame({"url": urls, "href": hrefs,
+                                "anchor": texts})
+    return fn
+
+
 def extract_batch(pdf: pd.DataFrame, charset: str = "utf-8") -> pd.DataFrame:
     """Arrow-batch body: pdf[url, html] -> pdf[url, links, text]."""
     links, texts = [], []
