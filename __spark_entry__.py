@@ -1035,6 +1035,66 @@ def _recrawl_oracle() -> str:
         FROM s"""
 
 
+def q_url_surt_keys(spark, sf):
+    """SURT storage keys (urlnorm.surt_key_col): pure JVM column math over
+    a synthesized url mix (subdomains, non-default ports, queries).
+    Range-partitioning the frontier on this key gives per-host locality —
+    see SCALE.md."""
+    from remilia_spark.urlnorm import surt_key_col
+
+    d = _read(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example"), (F.col("doc_id") % 2).cast("string"),
+        F.lit(".test"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("?q="), (F.col("doc_id") % 9).cast("string")))
+        .otherwise(F.lit("")))
+    return d.select(url.alias("url")) \
+            .select("url", surt_key_col(F.col("url")).alias("surt"))
+
+
+def _surt_oracle() -> str:
+    return """
+        WITH u AS (
+          SELECT 'https://'
+                 || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                 || 'host' || CAST(doc_id % 40 AS VARCHAR)
+                 || '.example' || CAST(doc_id % 2 AS VARCHAR) || '.test'
+                 || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+                 || '/p/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '?q=' || CAST(doc_id % 9 AS VARCHAR)
+                         ELSE '' END AS url
+          FROM documents),
+        parts AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS hostport,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                   AS path0,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u),
+        hp AS (
+          SELECT *,
+                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                      THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
+                      ELSE hostport END AS host
+          FROM parts)
+        SELECT url,
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+               || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+               || ')'
+               || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+               || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+                 AS surt
+        FROM hp"""
+
+
 _ANCH_K = 3
 
 
@@ -1264,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bucket": q_doc_lm_bucket,
         "url_recrawl": q_url_recrawl,
         "link_anchor_topk": q_link_anchor_topk,
+        "url_surt_keys": q_url_surt_keys,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1574,5 +1635,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_bucket": _lm_bucket_oracle(),
         "url_recrawl": _recrawl_oracle(),
         "link_anchor_topk": _anchor_topk_oracle(),
+        "url_surt_keys": _surt_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

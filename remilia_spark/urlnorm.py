@@ -126,6 +126,80 @@ def path_of(url: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# SURT keys — sort-friendly URI reordering transform
+# ---------------------------------------------------------------------------
+# The web-archive community's storage key (Heritrix/OpenWayback, and the
+# Common Crawl URL index): reverse the host labels so that sorting groups
+# URLs by site/domain —
+#
+#     https://www.example.ac.uk/path?q=1  ->  uk,ac,example,www)/path?q=1
+#
+# Range-partitioning the frontier/pages tables on this key gives per-host
+# (and per-registrable-domain) locality: a host's URLs land in one
+# partition run, so per-host politeness, robots joins, and recrawl scans
+# touch contiguous storage instead of shuffling.  Pinned spec over
+# **engine-canonical** URLs (lowercased host, no userinfo, no fragment,
+# default ports stripped — see normalize_parts):
+#
+# 1. scheme dropped; 2. host labels reversed and comma-joined;
+# 3. a non-default port survives as ``:port`` after the reversed host;
+# 4. ``)`` separator; 5. path verbatim ('' -> '/'); 6. ``?query`` kept
+# order-preserving when present.  No www-stripping (a policy seam, not a
+# default — stripping merges distinct hosts irreversibly).
+
+_SURT_HOSTPORT_RE = r"^[a-z]+://([^/?#]+)"
+_SURT_PATH_RE = r"^[a-z]+://[^/?#]+([^?#]*)"
+_SURT_QUERY_RE = r"\?([^#]*)"
+
+
+def surt_key(url: str) -> str:
+    """Pure-Python twin of ``surt_key_col`` (unit-testable, oracle-exact)."""
+    m = re.match(_SURT_HOSTPORT_RE, url or "")
+    if not m:
+        return ""
+    hostport = m.group(1)
+    port = ""
+    mp = re.search(r":([0-9]+)$", hostport)
+    host = hostport[: mp.start()] if mp else hostport
+    if mp:
+        port = ":" + mp.group(1)
+    rev = ",".join(reversed(host.split(".")))
+    mpath = re.match(_SURT_PATH_RE, url)
+    path = (mpath.group(1) if mpath else "") or "/"
+    mq = re.search(_SURT_QUERY_RE, url)
+    query = "?" + mq.group(1) if mq else ""
+    return rev + port + ")" + path + query
+
+
+def surt_key_col(url):
+    """SURT key as a pure JVM column expression (whole-stage codegen; the
+    frontier can compute it at 10^10-row scale with zero Python).  Same
+    pinned spec as ``surt_key``; plain character-class regexes so Java
+    and RE2 (the DuckDB oracle) agree exactly."""
+    from pyspark.sql import functions as F
+
+    hostport = F.regexp_extract(url, _SURT_HOSTPORT_RE, 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.when(port != "",
+                  F.regexp_extract(hostport, r"^(.*):[0-9]+$", 1)) \
+            .otherwise(hostport)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, _SURT_PATH_RE, 1)
+    query = F.regexp_extract(url, _SURT_QUERY_RE, 1)
+    # outer coalesce: a NULL url degrades to "" like the Python twin
+    return F.coalesce(
+        F.when(hostport == "", F.lit("")).otherwise(F.concat(
+            rev,
+            F.when(port != "", F.concat(F.lit(":"), port))
+            .otherwise(F.lit("")),
+            F.lit(")"),
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(query != "", F.concat(F.lit("?"), query))
+            .otherwise(F.lit("")))),
+        F.lit(""))
+
+
+# ---------------------------------------------------------------------------
 # pandas (Arrow-batch) wrappers — the bodies of the canonicalization UDFs.
 # ---------------------------------------------------------------------------
 
