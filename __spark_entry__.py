@@ -1035,6 +1035,54 @@ def _recrawl_oracle() -> str:
         FROM s"""
 
 
+_IDX_BLOCK = 64
+
+
+def q_doc_term_stats(spark, sf):
+    """Inverted-index term statistics (index.term_stats): per-term document
+    frequency + corpus term frequency, two map-side-combinable groupBys."""
+    from remilia_spark.datapipe import index
+
+    return index.term_stats(_read(spark, sf, "documents"))
+
+
+def q_doc_posting_blocks(spark, sf):
+    """Doc-id-range-sharded posting lists (index.posting_blocks): the
+    largest aggregation buffer is block_docs entries even for stopwords;
+    postings serialize 'doc:tf,…' ascending for the value-hash oracle."""
+    from remilia_spark.datapipe import index
+
+    return index.posting_blocks(_read(spark, sf, "documents"),
+                                block_docs=_IDX_BLOCK)
+
+
+def _term_df_ctes() -> str:
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    return f"""toks AS (SELECT doc_id, {toks_l} AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        td AS (SELECT term, doc_id, count(*) AS tf
+               FROM w GROUP BY term, doc_id)"""
+
+
+def _term_stats_oracle() -> str:
+    return f"""
+        WITH {_term_df_ctes()}
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM td GROUP BY term"""
+
+
+def _posting_blocks_oracle() -> str:
+    return f"""
+        WITH {_term_df_ctes()}
+        SELECT term, CAST(doc_id // {_IDX_BLOCK} AS BIGINT) AS block,
+               CAST(count(*) AS BIGINT) AS block_df,
+               string_agg(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(tf AS VARCHAR), ',' ORDER BY doc_id)
+                 AS postings
+        FROM td GROUP BY term, doc_id // {_IDX_BLOCK}"""
+
+
 def q_url_surt_keys(spark, sf):
     """SURT storage keys (urlnorm.surt_key_col): pure JVM column math over
     a synthesized url mix (subdomains, non-default ports, queries).
@@ -1325,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_recrawl": q_url_recrawl,
         "link_anchor_topk": q_link_anchor_topk,
         "url_surt_keys": q_url_surt_keys,
+        "doc_term_stats": q_doc_term_stats,
+        "doc_posting_blocks": q_doc_posting_blocks,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1636,5 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "url_recrawl": _recrawl_oracle(),
         "link_anchor_topk": _anchor_topk_oracle(),
         "url_surt_keys": _surt_oracle(),
+        "doc_term_stats": _term_stats_oracle(),
+        "doc_posting_blocks": _posting_blocks_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }
