@@ -42,6 +42,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def history_from_results(results: DataFrame, cycle: int,
+                         fetch_epoch: int) -> DataFrame:
+    """One fetch-history row per url fetched in a crawl cycle.
+
+    ``results`` is the engine's results table (`CrawlRun.results()`:
+    superstep, url, depth, host_rank, discovery_order, text); the content
+    fingerprint is md5 of the extracted text — the same per-url
+    byte-identical invariant the goldens pin, so "changed" means the
+    *content* changed, not markup noise.  A standing crawl appends each
+    cycle's rows to the history table (an append-only Iceberg table at
+    deployment; the tests union DataFrames) and feeds
+    ``recrawl_schedule`` + ``due_urls`` to pick the next cycle's seeds.
+    """
+    return results.select(
+        "url",
+        F.lit(int(cycle)).cast("long").alias("fetch_idx"),
+        F.lit(int(fetch_epoch)).cast("long").alias("fetch_epoch"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash"))
+
+
+def due_urls(schedule: DataFrame, now_epoch: int) -> DataFrame:
+    """Urls whose next fetch is due — the next cycle's seed list."""
+    return schedule.where(F.col("next_fetch_epoch") <= int(now_epoch)) \
+                   .select("url")
+
+
 def change_stats(history: DataFrame) -> DataFrame:
     """(url, n_fetches, n_changes, change_rate, last_epoch) per url.
 
