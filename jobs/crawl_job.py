@@ -51,6 +51,20 @@ def parse_args(argv):
     p.add_argument("--fill-quantum", type=int, default=10)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--history", default=None,
+                   help="parquet dir of the standing-crawl fetch history "
+                        "(url, fetch_idx, fetch_epoch, content_hash); this "
+                        "cycle's results are appended to it")
+    p.add_argument("--cycle", type=int, default=0,
+                   help="standing-crawl cycle number (fetch_idx for the "
+                        "appended history rows)")
+    p.add_argument("--fetch-epoch", type=int, default=None,
+                   help="epoch seconds stamped on this cycle's history "
+                        "rows (default: wall clock)")
+    p.add_argument("--schedule-out", default=None,
+                   help="write the recrawl schedule (recrawl_schedule over "
+                        "the updated history) to this parquet dir; pair "
+                        "with recrawl.due_urls for the next cycle's seeds")
     return p.parse_args(argv)
 
 
@@ -91,6 +105,24 @@ def main(argv=None) -> int:
                  if args.authority else None)
     run = Engine(spark, cfg).run(pages, seeds, robots, args.state,
                                  resume=args.resume, authority=authority)
+    if args.history or args.schedule_out:
+        import time as _time
+
+        from remilia_spark import recrawl
+
+        epoch = args.fetch_epoch if args.fetch_epoch is not None \
+            else int(_time.time())
+        rows = recrawl.history_from_results(run.results(), cycle=args.cycle,
+                                            fetch_epoch=epoch)
+        if args.history:
+            # append-only history table (Iceberg append at deployment)
+            rows.write.mode("append").parquet(args.history)
+            hist = spark.read.parquet(args.history)
+        else:
+            hist = rows
+        if args.schedule_out:
+            recrawl.recrawl_schedule(hist).write.mode("overwrite") \
+                .parquet(args.schedule_out)
     for s in run.stats:
         print(json.dumps({"superstep": s["superstep"],
                           "wave": s.get("wave", 0),
