@@ -119,3 +119,89 @@ def read_landing(spark: SparkSession, landing_dir: str | Path) -> DataFrame:
             .select("url", "url_hash", "host",
                     F.col("pick.source").alias("source"),
                     F.col("pick.ingest_ts").alias("ingest_ts")))
+
+
+# ---------------------------------------------------------------------------
+# custom stateful streaming operator: per-host admission rate guard
+# ---------------------------------------------------------------------------
+
+# output of the rate guard: every candidate, tagged admit/defer
+GUARD_SCHEMA = ("url string, host string, source string, "
+                "ingest_ts timestamp, admitted boolean")
+
+
+def start_host_rate_guard(
+    spark: SparkSession,
+    source_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    capacity: int = 5,
+    refill: int = 5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stateful streaming politeness guard — ``applyInPandasWithState``.
+
+    The batch engine rate-limits *fetches* (budget.py); a continuous
+    ingest needs the same protection on *admissions*, or a sitemap ping
+    storm floods one host's frontier partition.  This operator keeps a
+    per-host token bucket as **streaming state across micro-batches**
+    (Spark's state store, restored from the checkpoint on restart):
+
+        tokens(batch start) = min(capacity, tokens + refill)
+        admit candidates in (ingest_ts, url) order while tokens remain;
+        the rest emit admitted=false (downstream re-queues or drops).
+
+    Per-group work is one pandas sort of that host's batch rows; state is
+    a single long per host.  This is the ``applyInPandasWithState``
+    pattern from the Structured Streaming guide — arbitrary stateful
+    processing with an explicit state schema, *not* reproducible by a
+    windowed agg because admission depends on the running token count.
+
+    Deterministic given a fixed batch split: rows sort (ingest_ts, url)
+    within host and hosts are independent — the tests pin admissions
+    across two forced micro-batches (maxFilesPerTrigger=1).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    reader = (spark.readStream.schema(INGEST_SCHEMA)
+              .option("multiLine", "false"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(str(source_dir))
+    cand = _canonical_candidates(raw).select(
+        "url", "host", "source", F.col("ingest_ts"))
+
+    cap, re_fill = int(capacity), int(refill)
+
+    def guard(key, pdf_iter, state: GroupState):
+        (host,) = key
+        tokens = state.get[0] if state.exists else cap
+        tokens = min(cap, tokens + re_fill) if state.exists else tokens
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ingest_ts", "url"],
+                                  kind="mergesort").reset_index(drop=True)
+            n_admit = min(tokens, len(pdf))
+            tokens -= n_admit
+            pdf["admitted"] = [True] * n_admit \
+                + [False] * (len(pdf) - n_admit)
+            yield pdf[["url", "host", "source", "ingest_ts", "admitted"]]
+        state.update((tokens,))
+
+    guarded = cand.groupBy("host").applyInPandasWithState(
+        guard,
+        outputStructType=GUARD_SCHEMA,
+        stateStructType="tokens long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (guarded.writeStream
+              .format("parquet")
+              .option("path", str(out_dir))
+              .option("checkpointLocation", str(checkpoint_dir))
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
