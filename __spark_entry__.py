@@ -1268,6 +1268,56 @@ def _lm_bucket_oracle() -> str:
         FROM r"""
 
 
+def q_pipeline_corpus(spark, sf):
+    """End-to-end training-corpus pipeline — the composition a real user
+    runs: exact dedup (keep canonical) -> Gopher keep/drop -> CCNet LM
+    buckets (keep head+middle) -> stratified language mixing -> token-
+    budget shard packing.  Every stage is the SAME operator its standalone
+    query pins; the oracle embeds those oracles as subqueries, so this
+    checks the composition, not new logic."""
+    from remilia_spark.datapipe import sampling
+
+    docs = _read(spark, sf, "documents")
+    canon = q_doc_exact_dedup(spark, sf) \
+        .where("is_canonical").select("doc_id")
+    keep = q_doc_quality_filter(spark, sf).where("keep").select("doc_id")
+    head_mid = q_doc_lm_bucket(spark, sf) \
+        .where("bucket <> 'tail'").select("doc_id")
+    samp = q_doc_stratified_sample(spark, sf).select("doc_id")
+    surv = (docs.join(canon, "doc_id").join(keep, "doc_id")
+                .join(head_mid, "doc_id").join(samp, "doc_id"))
+    packed = sampling.pack_token_shards(surv, target_tokens=_SHARD_TARGET)
+    return packed.join(docs.select("doc_id", "lang"), "doc_id") \
+                 .select("doc_id", "lang", "n_tokens", "shard")
+
+
+def _pipeline_corpus_oracle() -> str:
+    toks = _TOKS_SQL.format(t="text")
+    return f"""
+        WITH dd AS (
+          SELECT doc_id FROM documents
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        qf AS (SELECT doc_id FROM ({_quality_filter_oracle()}) WHERE keep),
+        lmb AS (SELECT doc_id FROM ({_lm_bucket_oracle()})
+                WHERE bucket <> 'tail'),
+        smp AS (SELECT doc_id FROM ({_stratified_sample_oracle()})),
+        surv AS (
+          SELECT d.doc_id, d.lang, d.text FROM documents d
+          JOIN dd USING (doc_id) JOIN qf USING (doc_id)
+          JOIN lmb USING (doc_id) JOIN smp USING (doc_id)),
+        tok AS (
+          SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tokens
+          FROM surv),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok)
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum - n_tokens) // {_SHARD_TARGET} AS BIGINT) AS shard
+        FROM c"""
+
+
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 2, 0.3
 
 
@@ -1370,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_shards": q_doc_token_shards,
         "doc_lm_bucket": q_doc_lm_bucket,
+        "pipeline_corpus": q_pipeline_corpus,
         "url_recrawl": q_url_recrawl,
         "link_anchor_topk": q_link_anchor_topk,
         "url_surt_keys": q_url_surt_keys,
@@ -1683,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_sample_oracle(),
         "doc_token_shards": _token_shards_oracle(),
         "doc_lm_bucket": _lm_bucket_oracle(),
+        "pipeline_corpus": _pipeline_corpus_oracle(),
         "url_recrawl": _recrawl_oracle(),
         "link_anchor_topk": _anchor_topk_oracle(),
         "url_surt_keys": _surt_oracle(),
