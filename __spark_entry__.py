@@ -1083,6 +1083,63 @@ def _posting_blocks_oracle() -> str:
         FROM td GROUP BY term, doc_id // {_IDX_BLOCK}"""
 
 
+_BM25_TERMS = ["merge", "window", "customer"]
+_BM25_K, _BM25_K1, _BM25_B = 25, 1.2, 0.75
+
+
+def q_doc_bm25_topk(spark, sf):
+    """Rational-idf BM25 search over the corpus (index.bm25_topk): the
+    per-doc score is built as one conditional aggregate per query term
+    added in pinned order, so the doubles are partitioning-independent
+    and oracle-exact."""
+    from remilia_spark.datapipe import index
+
+    return index.bm25_topk(_read(spark, sf, "documents"), _BM25_TERMS,
+                           k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle() -> str:
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # literals via repr: DuckDB parses the shortest-roundtrip decimal back
+    # to the exact double Python computed (CAST pins DOUBLE, not DECIMAL)
+    k1p1 = f"CAST({_BM25_K1 + 1!r} AS DOUBLE)"
+    k1 = f"CAST({_BM25_K1!r} AS DOUBLE)"
+    onemb = f"CAST({1 - _BM25_B!r} AS DOUBLE)"
+    bb = f"CAST({_BM25_B!r} AS DOUBLE)"
+    contrib = (f"((g.n - d.df + 0.5) / (d.df + 0.5))"
+               f" * (tf.tf * {k1p1})"
+               f" / (tf.tf + {k1} * ({onemb} + {bb}"
+               f" * (lens.dl / (g.sl / CAST(g.n AS DOUBLE)))))")
+    sums = ",\n                 ".join(
+        f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    total = " + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks_l} AS t FROM documents),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sl FROM lens),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+          WHERE term IN ({terms_sql})
+          GROUP BY doc_id, term),
+        d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+        s AS (
+          SELECT tf.doc_id, tf.term, {contrib} AS contrib
+          FROM tf JOIN lens USING (doc_id)
+                  JOIN d USING (term) CROSS JOIN g),
+        agg AS (
+          SELECT doc_id,
+                 {sums},
+                 CAST(count(*) AS BIGINT) AS n_terms_hit
+          FROM s GROUP BY doc_id)
+        SELECT doc_id, ROUND({total}, 6) AS score, n_terms_hit
+        FROM agg ORDER BY score DESC, doc_id LIMIT {_BM25_K}"""
+
+
 def q_url_surt_keys(spark, sf):
     """SURT storage keys (urlnorm.surt_key_col): pure JVM column math over
     a synthesized url mix (subdomains, non-default ports, queries).
@@ -1426,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt_keys": q_url_surt_keys,
         "doc_term_stats": q_doc_term_stats,
         "doc_posting_blocks": q_doc_posting_blocks,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1740,5 +1798,6 @@ def oracle_sql() -> dict[str, str]:
         "url_surt_keys": _surt_oracle(),
         "doc_term_stats": _term_stats_oracle(),
         "doc_posting_blocks": _posting_blocks_oracle(),
+        "doc_bm25_topk": _bm25_oracle(),
         "embed_semantic_dedup": _semantic_dedup_oracle(),
     }

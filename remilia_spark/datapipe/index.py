@@ -83,3 +83,68 @@ def posting_blocks(df: DataFrame, text_col: str = "text",
                                        x["tf"].cast("string"))), ",")
             .alias("postings"))
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """Top-k documents for ``query_terms`` under rational-idf BM25.
+
+    Classic BM25 with one pinned substitution: ``idf_r(t) =
+    (N - df + 0.5) / (df + 0.5)`` instead of its logarithm.  Per query
+    term the transform is monotone (identical per-term ranking); across
+    terms it weighs rare terms more steeply than log-idf — pinned and
+    documented because ``ln`` is not correctly-rounded identically across
+    engines and exact rational arithmetic is what makes the DuckDB oracle
+    (and cross-cluster determinism) bit-exact.  Drop-in log-idf needs one
+    line and costs only oracle exactness.
+
+    score(d) = Σ_t idf_r(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avg))
+
+    The per-document sum is computed as one conditional-aggregate column
+    PER QUERY TERM added in pinned term order — never a groupBy over
+    float rows — so the double is identical on any partitioning.  Plan:
+    the term-document tf table is filtered to the query terms FIRST (a
+    broadcast isin over 10^10 rows), df/N/avg_len are three scalar
+    aggregates, and the top-k is a single orderBy-limit (Spark's
+    TakeOrdered, no full sort).
+
+    Output: (doc_id, score, n_terms_hit), score rounded 6dp,
+    ties broken by doc_id.
+    """
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    toks = df.select(
+        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("t"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    n_docs, sum_len = lens.agg(
+        F.count("*"), F.sum("dl")).first()
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avg_len = sum_len / n_docs  # exact: integer sum / integer count
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin([t.lower() for t in query_terms]))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dfreq = {r["term"]: r["n"] for r in
+             tf.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    scored = tf.join(lens, "doc_id")
+    parts = []
+    for t in query_terms:  # pinned order: the sum is t1 + t2 + ... exactly
+        t = t.lower()
+        dfr = dfreq.get(t, 0)
+        idf = (n_docs - dfr + 0.5) / (dfr + 0.5)
+        contrib = (F.lit(idf)
+                   * (F.col("tf") * (k1 + 1))
+                   / (F.col("tf")
+                      + k1 * (1 - b + b * (F.col("dl") / F.lit(avg_len)))))
+        parts.append(F.sum(F.when(F.col("term") == t, contrib)
+                           .otherwise(F.lit(0.0))))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    out = (scored.groupBy("doc_id")
+           .agg(F.round(score, 6).alias("score"),
+                F.count("*").cast("long").alias("n_terms_hit")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
