@@ -53,3 +53,22 @@ def test_null_url_column(spark):
     df = spark.createDataFrame([(None,)], "url string")
     assert df.select(surt_key_col(F.col("url")).alias("k")) \
              .collect()[0]["k"] == ""
+
+
+def test_fuzz_parity_500(spark):
+    """Seeded adversarial fuzz: the JVM column and the Python twin must
+    agree on every input, including garbage."""
+    import random
+
+    rng = random.Random(42)
+    frags = ["http://", "https://", "ftp://", "", "www.", "a.b.", "host",
+             ".test", ":8080", ":99", ":", "/", "/p/x", "?q=1", "?a=%20",
+             "#frag", "..", "%2F", " ", "\t", "xn--", "127.0.0.1", "[::1]",
+             "a" * 40, ".", "?", ")", ",", "//", "@user"]
+    urls = ["".join(rng.choice(frags)
+                    for _ in range(rng.randint(1, 6))) for _ in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string") \
+              .select("url", surt_key_col(F.col("url")).alias("k"))
+    got = {r["url"]: r["k"] for r in df.collect()}
+    for u in set(urls):
+        assert got[u] == surt_key(u), repr(u)
