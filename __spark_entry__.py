@@ -965,6 +965,72 @@ def _token_shards_oracle() -> str:
         FROM c"""
 
 
+_AUD_N, _AUD_SAMPLES, _AUD_DIM, _AUD_RATE = 64, 512, 8, 8000
+
+
+def q_media_audio(spark, sf):
+    """Audio modality end-to-end: deterministic waveform -> REAL WAV
+    encode (stdlib) -> codecs.decode_wav -> per-chunk RMS features through
+    mapInPandas.  Oracle parity is exact BY CONSTRUCTION: decoded samples
+    are t/2^15 with integer t, so squares are dyadic rationals whose
+    chunk sums (numerator < 2^53) are order-independent exact doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_wav, encode_wav
+
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _AUD_N).select("doc_id")
+
+    def gen(batches):
+        j = np.arange(_AUD_SAMPLES, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = ((int(did) * 13 + j * 7) % 201 - 100) / 100.0
+                payloads.append(encode_wav(_AUD_RATE, s))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "audio",
+                "payload": payloads, "width": 0, "height": 0,
+                "duration_ms": 0})
+
+    media = d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_audio_features(media, dim=_AUD_DIM,
+                                              decoder=decode_wav)
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.posexplode("feature").alias("chunk", "f")
+    ).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.round(F.col("f").cast("double"), 6).alias("rms"))
+
+
+def _media_audio_oracle() -> str:
+    n, ns, dim, rate = _AUD_N, _AUD_SAMPLES, _AUD_DIM, _AUD_RATE
+    chunk_len = ns // dim
+    dur = ns * 1000 // rate
+    return f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {n}),
+        s AS (
+          SELECT d.doc_id, j.j AS j,
+                 trunc((((d.doc_id * 13 + j.j * 7) % 201 - 100) / 100.0)
+                       * 32767) / 32768.0 AS q
+          FROM d CROSS JOIN (SELECT unnest(range(0, {ns})) AS j) j),
+        ch AS (
+          SELECT doc_id, j // {chunk_len} AS chunk,
+                 SUM(q * q) / COUNT(*) AS ms
+          FROM s GROUP BY doc_id, j // {chunk_len})
+        SELECT doc_id AS media_id,
+               CAST({rate} AS INT) AS sample_rate,
+               CAST({ns} AS BIGINT) AS n_samples,
+               CAST({dur} AS BIGINT) AS duration_ms,
+               CAST(chunk AS BIGINT) AS chunk,
+               ROUND(CAST(CAST(sqrt(ms) AS REAL) AS DOUBLE), 6) AS rms
+        FROM ch"""
+
+
 _RC_K, _RC_HOSTS, _RC_EPOCH = 6, 40, 1_704_067_200
 _RC_BASE, _RC_MIN, _RC_MAX = 8 * 86400, 43200, 16 * 86400
 
@@ -1490,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_semantic_dedup": q_embed_semantic_dedup,
         "media_features": q_media_features,
+        "media_audio": q_media_audio,
         "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
     }
@@ -1783,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_ivf": _ann_ivf_oracle(),
         "embed_near_dup": _near_dup_oracle(),
         "media_features": _media_features_oracle(),
+        "media_audio": _media_audio_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),

@@ -150,3 +150,71 @@ def pixel_feature(arr: np.ndarray, dim: int) -> np.ndarray:
     chunks = np.array_split(lum.astype(np.float64), dim)
     return (np.array([c.mean() if len(c) else 0.0 for c in chunks])
             / 255.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV (PCM) — the real decoder for the audio modality
+# ---------------------------------------------------------------------------
+# Same philosophy as PPM/BMP above: the sandbox has no soundfile/av, but
+# RIFF/WAVE PCM is stdlib-decodable (`wave`), so the audio seam runs REAL
+# samples end-to-end; compressed formats (mp3/ogg) plug into the same
+# decode_wav signature via soundfile at deployment.
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """(sample_rate, mono float64 samples in [-1, 1]) or None.
+
+    Accepts 8/16/32-bit PCM, any channel count (channels average to mono).
+    Never raises — corrupt headers/short payloads return None, matching
+    the malformed-input contract.
+    """
+    import io
+    import wave
+
+    if not payload or not bytes(payload).startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if rate <= 0 or nch <= 0 or width not in (1, 2, 4):
+        return None
+    dt = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+    a = np.frombuffer(raw, dtype=dt)
+    if nch > 1:
+        a = a[: len(a) - len(a) % nch].reshape(-1, nch).mean(axis=1)
+    a = a.astype(np.float64)
+    if width == 1:          # unsigned 8-bit PCM centers on 128
+        a = (a - 128.0) / 128.0
+    else:
+        a = a / float(1 << (8 * width - 1))
+    return rate, a
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Mono 16-bit PCM WAV from float samples in [-1, 1] (fixtures)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(rate))
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_feature(rate: int, samples: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic dim-length float32 feature from real samples:
+    per-chunk RMS over the waveform (the audio analogue of
+    ``pixel_feature``'s per-chunk luminance)."""
+    chunks = np.array_split(np.asarray(samples, dtype=np.float64), dim)
+    return np.array(
+        [np.sqrt((c * c).mean()) if len(c) else 0.0 for c in chunks],
+        dtype=np.float32)

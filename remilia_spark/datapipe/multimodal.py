@@ -27,6 +27,7 @@ from collections.abc import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "width int, height int, duration_ms int")
@@ -161,3 +162,53 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
 
     return frames.mapInPandas(
         fn, "media_id long, frame_ms long, frame_feature array<float>")
+
+
+AUDIO_FEATURES_SCHEMA = ("media_id long, kind string, sample_rate int, "
+                         "n_samples long, duration_ms long, "
+                         "feature array<float>")
+
+
+def extract_audio_features(df: DataFrame, dim: int = 8,
+                           decoder=None) -> DataFrame:
+    """audio binary payload -> (rate, duration, per-chunk RMS feature).
+
+    ``decoder``: ``bytes -> (rate, mono float64 samples) | None`` —
+    ``codecs.decode_wav`` for real PCM in this sandbox; soundfile/av wrap
+    to the same signature for compressed formats at deployment.
+    Undecodable payloads yield rate 0 / empty-duration zero features,
+    never an exception.  Same Arrow-batch shape notes as
+    ``extract_features``.
+    """
+    from .codecs import audio_feature, decode_wav
+
+    dec = decoder or decode_wav
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, durs, feats = [], [], [], []
+            for p in pdf["payload"]:
+                out = dec(bytes(p) if p is not None else b"")
+                if out is None:
+                    rates.append(0)
+                    counts.append(0)
+                    durs.append(0)
+                    feats.append([0.0] * dim)
+                    continue
+                rate, samples = out
+                rates.append(int(rate))
+                counts.append(int(len(samples)))
+                durs.append(int(len(samples) * 1000 // max(1, rate)))
+                feats.append(audio_feature(rate, samples, dim).tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "sample_rate": rates,
+                "n_samples": counts,
+                "duration_ms": durs,
+                "feature": feats,
+            })
+
+    return (df.where(F.col("kind") == "audio")
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, AUDIO_FEATURES_SCHEMA))
