@@ -1031,6 +1031,88 @@ def _media_audio_oracle() -> str:
         FROM ch"""
 
 
+_VID_N, _VID_W, _VID_H, _VID_DIM = 16, 16, 12, 4
+_VID_FPS, _VID_FRAMES, _VID_EVERY = 10, 5, 200   # usec 100000, dur 500ms
+
+
+def q_media_video(spark, sf):
+    """Video modality end-to-end: deterministic frames -> REAL uncompressed
+    AVI encode -> codecs.decode_avi -> Spark-side timestamp explode ->
+    per-frame per-chunk luminance features through mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_avi, encode_avi
+
+    W, H = _VID_W, _VID_H
+    dur = _VID_FRAMES * 1000 // _VID_FPS
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _VID_N).select("doc_id")
+
+    def gen(batches):
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(_VID_FRAMES):
+                    frames.append(np.stack([
+                        (did * 7 + f * 19 + x * 3 + y * 5) % 256,
+                        (did * 11 + f * 23 + x * 13 + y * 2) % 256,
+                        (did * 3 + f * 29 + x + y * 17) % 256,
+                    ], axis=-1).astype(np.uint8))
+                payloads.append(encode_avi(frames, fps=_VID_FPS))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "video",
+                "payload": payloads, "width": W, "height": H,
+                "duration_ms": dur})
+
+    media = d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    sampled = multimodal.frame_sample(media, every_ms=_VID_EVERY,
+                                      decoder=decode_avi, dim=_VID_DIM)
+    return sampled.select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.posexplode("frame_feature").alias("chunk", "f")
+    ).select(
+        "media_id", "frame_ms",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.round(F.col("f").cast("double"), 6).alias("lum_mean"))
+
+
+def _media_video_oracle() -> str:
+    w, h, dim = _VID_W, _VID_H, _VID_DIM
+    chunk_len = (w * h) // dim
+    usec_ms = 1000 // _VID_FPS                   # ms per frame
+    ts = ", ".join(str(t) for t in
+                   range(0, _VID_FRAMES * 1000 // _VID_FPS, _VID_EVERY))
+    return f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_VID_N}),
+        t AS (SELECT unnest([{ts}]) AS frame_ms),
+        px AS (
+          SELECT d.doc_id, t.frame_ms, y.y * {w} + x.x AS i,
+                 0.299 * ((d.doc_id * 7 + (t.frame_ms // {usec_ms}) * 19
+                           + x.x * 3 + y.y * 5) % 256)
+                 + 0.587 * ((d.doc_id * 11 + (t.frame_ms // {usec_ms}) * 23
+                             + x.x * 13 + y.y * 2) % 256)
+                 + 0.114 * ((d.doc_id * 3 + (t.frame_ms // {usec_ms}) * 29
+                             + x.x + y.y * 17) % 256) AS lum
+          FROM d CROSS JOIN t
+          CROSS JOIN (SELECT unnest(range(0, {w})) AS x) x
+          CROSS JOIN (SELECT unnest(range(0, {h})) AS y) y),
+        ch AS (
+          SELECT doc_id, frame_ms, i // {chunk_len} AS chunk,
+                 SUM(lum) / COUNT(*) AS m
+          FROM px GROUP BY doc_id, frame_ms, i // {chunk_len})
+        SELECT doc_id AS media_id,
+               CAST(frame_ms AS BIGINT) AS frame_ms,
+               CAST(chunk AS BIGINT) AS chunk,
+               ROUND(CAST(CAST(m / 255.0 AS REAL) AS DOUBLE), 6) AS lum_mean
+        FROM ch"""
+
+
 _RC_K, _RC_HOSTS, _RC_EPOCH = 6, 40, 1_704_067_200
 _RC_BASE, _RC_MIN, _RC_MAX = 8 * 86400, 43200, 16 * 86400
 
@@ -1557,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semantic_dedup": q_embed_semantic_dedup,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
+        "media_video": q_media_video,
         "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
     }
@@ -1851,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": _near_dup_oracle(),
         "media_features": _media_features_oracle(),
         "media_audio": _media_audio_oracle(),
+        "media_video": _media_video_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),

@@ -218,3 +218,98 @@ def audio_feature(rate: int, samples: np.ndarray, dim: int) -> np.ndarray:
     return np.array(
         [np.sqrt((c * c).mean()) if len(c) else 0.0 for c in chunks],
         dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# video: uncompressed AVI (RIFF + BI_RGB '00db' frames) — the real decoder
+# for the video modality
+# ---------------------------------------------------------------------------
+# Same philosophy again: no av/ffmpeg in the sandbox, but the classic AVI
+# container with uncompressed DIB frames is struct-decodable, so frame
+# sampling runs REAL frames end-to-end; compressed codecs plug into the
+# same decode_avi signature via av at deployment.
+
+def encode_avi(frames: list[np.ndarray], fps: int) -> bytes:
+    """Minimal uncompressed AVI: RIFF('AVI ') / hdrl(avih + strl(strh
+    vids/DIB + strf BITMAPINFOHEADER)) / movi('00db' bottom-up BGR frames
+    padded to 4-byte rows).  Fixture writer for the decoder below."""
+    if not frames or fps <= 0:
+        raise ValueError("need frames and fps > 0")
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) // 4 * 4
+    usec = 1_000_000 // int(fps)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    def dib(arr: np.ndarray) -> bytes:
+        rows = []
+        for y in range(h - 1, -1, -1):           # bottom-up
+            row = arr[y, :, ::-1].astype(np.uint8).tobytes()  # BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        return b"".join(rows)
+
+    avih = struct.pack("<14I", usec, stride * h * int(fps), 0, 0x10,
+                       len(frames), 0, 1, stride * h, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, int(fps), 0, len(frames), stride * h, 0xFFFF,
+                       0, 0, 0, w, h)
+    strf = struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]] | None:
+    """(usec_per_frame, [(H, W, 3) uint8 frames]) or None.
+
+    Robust RIFF walk: unknown chunks skipped, truncated chunks end the
+    walk; accepts '00db'/'00dc' frame chunks carrying BI_RGB rasters.
+    Never raises, per the malformed-input contract.
+    """
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta: dict = {}
+    raws: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            cid = b[off:off + 4]
+            sz = int.from_bytes(b[off + 4:off + 8], "little")
+            ds, de = off + 8, off + 8 + sz
+            if de > end:
+                return                      # truncated chunk: stop
+            if cid == b"LIST":
+                walk(ds + 4, de)
+            elif cid == b"avih" and sz >= 40:
+                u, = struct.unpack_from("<I", b, ds)
+                w, h = struct.unpack_from("<II", b, ds + 32)
+                meta.update(usec=u, w=w, h=h)
+            elif cid in (b"00db", b"00dc"):
+                raws.append(b[ds:de])
+            off = de + (sz & 1)
+
+    try:
+        walk(12, len(b))
+    except Exception:
+        return None
+    w, h, usec = meta.get("w", 0), meta.get("h", 0), meta.get("usec", 0)
+    if not raws or w <= 0 or h <= 0 or usec <= 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for raw in raws:
+        if len(raw) < stride * h:
+            return None
+        a = np.frombuffer(raw[: stride * h], dtype=np.uint8)
+        a = a.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        frames.append(a[::-1, :, ::-1].copy())   # bottom-up BGR -> RGB
+    return usec, frames

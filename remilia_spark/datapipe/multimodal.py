@@ -132,9 +132,17 @@ def thumbnail(df: DataFrame, max_side: int = 32,
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000,
-                 decode_stub: bool = True) -> DataFrame:
-    """Video frame sampling stub: one row per sampled timestamp; the
-    explode happens in Spark (scales), only the decode is faked."""
+                 decode_stub: bool = True, decoder=None,
+                 dim: int = 8) -> DataFrame:
+    """Video frame sampling: one row per sampled timestamp; the explode
+    happens in Spark (scales), only the per-frame decode runs in Python.
+
+    ``decoder``: real ``bytes -> (usec_per_frame, [frames]) | None`` —
+    ``codecs.decode_avi`` for uncompressed AVI in this sandbox (av/ffmpeg
+    wrap to the same signature for compressed codecs at deployment).
+    Each payload decodes ONCE per Arrow batch (cached by identity), then
+    every sampled timestamp picks its frame and emits the per-chunk
+    luminance feature; undecodable payloads yield zero features."""
     from pyspark.sql import functions as F
 
     ts = F.explode(
@@ -146,17 +154,43 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
         "media_id", "kind", "payload", ts)
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import pixel_feature
+
         for pdf in batches:
+            if decoder is not None:
+                # the Spark-side explode duplicates the payload per sampled
+                # frame; key the decode cache on the bytes value so each
+                # video still decodes once per batch
+                cache: dict[bytes, tuple | None] = {}
+                feats = []
+                for p, t in zip(pdf["payload"], pdf["frame_ms"]):
+                    key = bytes(p) if p is not None else b""
+                    if key not in cache:
+                        cache[key] = decoder(key)
+                    dec = cache[key]
+                    if dec is None:
+                        feats.append([0.0] * dim)
+                        continue
+                    usec, frs = dec
+                    idx = min(len(frs) - 1, int(t) * 1000 // max(1, usec))
+                    feats.append(pixel_feature(frs[idx], dim).tolist())
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame_feature": feats,
+                })
+                continue
             if not decode_stub:
                 raise NotImplementedError(
-                    "real frame extraction needs av/ffmpeg; plug in here")
+                    "real frame extraction needs a decoder callable (see "
+                    "datapipe.codecs.decode_avi) or av/ffmpeg; plug in here")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "frame_ms": pdf["frame_ms"],
                 "frame_feature": [
                     _fake_decode(
                         (bytes(p) if p is not None else b"") + int(t).to_bytes(4, "little"),
-                        8).tolist()
+                        dim).tolist()
                     for p, t in zip(pdf["payload"], pdf["frame_ms"])],
             })
 
