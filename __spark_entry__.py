@@ -1597,6 +1597,139 @@ def _semantic_dedup_oracle() -> str:
         FROM s WHERE cosr >= {_SEM_THRESHOLD}"""
 
 
+_TRAP_MIN_URLS, _TRAP_MAX_RATIO = 30, 0.2
+
+
+def _trap_url_mix():
+    """Deterministic URL mix: hosts h0-h2 are calendar/pagination traps
+    (every path collapses to one digit template), h3-h9 mint md5-lettered
+    paths (near-unique templates).  Column-math twin of the oracle CTE."""
+    h = (F.col("doc_id") % 10).cast("int")
+    trap_path = F.concat(
+        F.lit("/cal/"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("/"), (F.col("doc_id") % 13).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?page="), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")))
+    org_path = F.concat(
+        F.lit("/a/"), F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 6))
+    return F.concat(
+        F.lit("https://h"), h.cast("string"), F.lit(".test"),
+        F.when(h < 3, trap_path).otherwise(org_path))
+
+
+def q_url_trap_hosts(spark, sf):
+    """Spider-trap detection signals (traps.trap_signals): per-host URL
+    mass vs path-template diversity over a synthesized frontier mix where
+    hosts h0-h2 are engineered traps."""
+    from remilia_spark.traps import trap_signals
+
+    d = _read(spark, sf, "documents").select(_trap_url_mix().alias("url"))
+    return trap_signals(d, min_urls=_TRAP_MIN_URLS,
+                        max_template_ratio=_TRAP_MAX_RATIO)
+
+
+def _trap_hosts_oracle() -> str:
+    return f"""
+        WITH u AS (
+          SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.test'
+                 || CASE WHEN doc_id % 10 < 3 THEN
+                      '/cal/' || CAST(doc_id % 97 AS VARCHAR)
+                      || '/' || CAST(doc_id % 13 AS VARCHAR)
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN '?page=' || CAST(doc_id AS VARCHAR)
+                              ELSE '' END
+                    ELSE '/a/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    END AS url
+          FROM documents),
+        parts AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)',
+                                1) AS path0
+          FROM u),
+        p AS (
+          SELECT host,
+                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                 CASE WHEN instr(url, '?') > 0 THEN 1 ELSE 0 END AS q
+          FROM parts),
+        t AS (
+          SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+                 len(list_filter(string_split(path, '/'), x -> x <> ''))
+                   AS depth, q
+          FROM p),
+        a AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                 CAST(COUNT(DISTINCT template) AS BIGINT) AS n_templates,
+                 CAST(SUM(depth) AS BIGINT) AS sum_depth,
+                 CAST(SUM(q) AS BIGINT) AS n_query
+          FROM t GROUP BY host)
+        SELECT host, n_urls, n_templates,
+               ROUND(CAST(n_templates AS DOUBLE) / n_urls, 6)
+                 AS template_ratio,
+               sum_depth, n_query,
+               (n_urls >= {_TRAP_MIN_URLS} AND
+                ROUND(CAST(n_templates AS DOUBLE) / n_urls, 6)
+                  <= {_TRAP_MAX_RATIO}) AS is_trap
+        FROM a"""
+
+
+_BOILER_MIN_DF = 2
+
+
+def _boiler_text():
+    """documents.text framed by shared nav/footer lines + one unique line
+    per doc — the corpus-wide line-frequency dedup target."""
+    return F.concat(
+        F.lit("NAV | HOME | ABOUT\n"), F.col("text"),
+        F.lit("\nCopyright site "), (F.col("doc_id") % 3).cast("string"),
+        F.lit("\nunique marker "), F.col("doc_id").cast("string"))
+
+
+def q_doc_boilerplate(spark, sf):
+    """Corpus-wide boilerplate-line removal (CCNet/RefinedWeb line dedup,
+    dedup.remove_boilerplate_lines): nav chrome + per-site footers drop,
+    unique prose survives in original order."""
+    d = _read(spark, sf, "documents").select(
+        "doc_id", _boiler_text().alias("text"))
+    return dedup.remove_boilerplate_lines(d, min_doc_freq=_BOILER_MIN_DF)
+
+
+def _boilerplate_oracle() -> str:
+    lh = _HASH60_SQL.format(x="lower(trim(line))")
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 'NAV | HOME | ABOUT' || chr(10) || text || chr(10)
+                 || 'Copyright site ' || CAST(doc_id % 3 AS VARCHAR)
+                 || chr(10) || 'unique marker ' || CAST(doc_id AS VARCHAR)
+                   AS t
+          FROM documents),
+        sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        l AS (
+          SELECT doc_id, unnest(range(0, len(ls))) AS pos,
+                 unnest(ls) AS line
+          FROM sp),
+        k AS (SELECT doc_id, pos, line, {lh} AS lh FROM l),
+        f AS (
+          SELECT lh, COUNT(DISTINCT doc_id) AS line_df
+          FROM k GROUP BY lh),
+        kept AS (
+          SELECT k.doc_id, k.pos, k.line
+          FROM k JOIN f USING (lh)
+          WHERE f.line_df < {_BOILER_MIN_DF} AND trim(k.line) <> ''),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+               COALESCE(agg.n_kept, 0) AS n_kept
+        FROM d LEFT JOIN agg USING (doc_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seen_antijoin_dedup": q_seen_antijoin_dedup,
@@ -1629,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_recrawl": q_url_recrawl,
         "link_anchor_topk": q_link_anchor_topk,
         "url_surt_keys": q_url_surt_keys,
+        "url_trap_hosts": q_url_trap_hosts,
+        "doc_boilerplate": q_doc_boilerplate,
         "doc_term_stats": q_doc_term_stats,
         "doc_posting_blocks": q_doc_posting_blocks,
         "doc_bm25_topk": q_doc_bm25_topk,
@@ -1948,6 +2083,8 @@ def oracle_sql() -> dict[str, str]:
         "url_recrawl": _recrawl_oracle(),
         "link_anchor_topk": _anchor_topk_oracle(),
         "url_surt_keys": _surt_oracle(),
+        "url_trap_hosts": _trap_hosts_oracle(),
+        "doc_boilerplate": _boilerplate_oracle(),
         "doc_term_stats": _term_stats_oracle(),
         "doc_posting_blocks": _posting_blocks_oracle(),
         "doc_bm25_topk": _bm25_oracle(),

@@ -102,3 +102,13 @@ class CrawlConfig:
     # mid-run without false negatives), but the prefilter only pays for
     # itself once the seen set dwarfs the candidate batch:
     bloom_min_seen: int = 100_000
+    # spider-trap guard (traps.cap_new_per_host): a host may hold at most
+    # this many PENDING frontier rows; discovered candidates beyond its
+    # remaining capacity are dropped at insertion — before ranking and
+    # before the seen-set mark, so they are re-discoverable once the
+    # host's queue drains (a queue budget, not a blacklist).  The keep
+    # set is a per-host discovery-order top-k — deterministic and
+    # partitioning-independent — with the same salted skew safety as the
+    # wave pop.  None = off (default: no extra per-superstep work, crawl
+    # ordering identical to the unguarded engine).
+    trap_max_pending: int | None = None

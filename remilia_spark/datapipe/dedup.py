@@ -177,6 +177,57 @@ def remove_duplicate_blocks(df: DataFrame, text_col: str = "text",
     )
 
 
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             min_doc_freq: int = 2) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_kept) — corpus-wide boilerplate-line
+    removal.
+
+    The line-level dedup step of CCNet / RefinedWeb-style pipelines:
+    navigation chrome, cookie banners and copyright footers are lines
+    whose *normalized* form (lowercase, trimmed) recurs across many
+    documents, while real prose lines are (nearly) unique.  A line is
+    dropped from EVERY document when it appears in at least
+    ``min_doc_freq`` distinct documents; survivors re-join in original
+    line order.  Blank lines normalize to '' and are always dropped as a
+    side effect — the reassembled text carries no formatting-only rows.
+
+    Scale (100 TB): lines shuffle twice, both times as small keys —
+    (line_hash, doc_id) pairs for the distinct + doc-frequency count
+    (map-side combinable after the distinct), then the per-line verdict
+    joins back on the 60-bit hash (near-uniform, no hot keys: the whole
+    point of the operator is that high-frequency lines exist, but even a
+    footer on every page of a 10^10-doc corpus is one hash bucket of
+    longs, not of texts).  Reassembly is one groupBy on doc_id, same as
+    :func:`remove_duplicate_blocks`.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    lh = word_hash(F.lower(F.trim(F.col("line"))))
+    keyed = lines.select("doc_id", "pos", "line", lh.alias("line_hash"))
+    freq = (keyed.select("line_hash", "doc_id").distinct()
+            .groupBy("line_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("line_df")))
+    kept = (keyed.join(freq, "line_hash")
+            .where((F.col("line_df") < min_doc_freq)
+                   & (F.trim(F.col("line")) != "")))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s.getField("line"))).alias("clean_text"),
+    )
+    n_lines = df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"))
+    return n_lines.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def _distinct_ngrams(text_col: str, n: int):
     """Distinct lowercased n-word grams of a text column; [] below n tokens."""
     toks = tokens_col(F.lower(F.col(text_col)))

@@ -45,6 +45,7 @@ from .extract import extract
 from .ranking import global_rank, grant_wave
 from .robots import with_robots_state
 from .storage import LocalTable, METRICS_SCHEMA, ParquetSnapshotStorage
+from .traps import cap_new_per_host
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "discovery_order", "parent_hash",
@@ -391,6 +392,20 @@ def run_superstep(
                           ["url_hash", "url"], "left_anti")
     if n_cand > 0:
         fresh = with_robots_state(fresh, robots)
+        if cfg.trap_max_pending is not None:
+            # spider-trap guard: cap each host's pending queue.  Blocked
+            # rows bypass the cap — they enter as terminal 'filtered'
+            # bookkeeping, never as queue mass.  Dropped candidates are
+            # NOT marked seen (seen_delta derives from new_rows), so the
+            # budget bounds queue depth without blacklisting pages.
+            pend_counts = (frontier.where(is_pending).groupBy("host")
+                           .agg(F.count(F.lit(1)).alias("_n_pending")))
+            kept = cap_new_per_host(
+                fresh.where(~F.col("robots_blocked")), pend_counts,
+                cfg.trap_max_pending, n_salts=cfg.skew_salts,
+                broadcast=cfg.broadcast_politeness, approx_rows=n_cand,
+                small_max=cfg.rank_small_wave)
+            fresh = kept.unionByName(fresh.where(F.col("robots_blocked")))
         rank_keys = ["parent_order", "link_index", "url_hash"]
         if n_eligible <= cfg.rank_small_wave:  # upper bound on wave size
             w = Window.orderBy(*rank_keys)

@@ -108,6 +108,15 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         pending = {u: r for u, r in frontier.items() if r["state"] == "pending"}
         if not pending:
             break
+        # spider-trap guard mirror (traps.cap_new_per_host): per-host
+        # pending counts are snapshotted at superstep START — the engine
+        # reads them from the committed frontier at s, before this
+        # superstep's state transitions
+        host_pending: dict[str, int] = {}
+        if cfg.trap_max_pending is not None:
+            for u in pending:
+                h = host_of(u)
+                host_pending[h] = host_pending.get(h, 0) + 1
         eligible = {u: r for u, r in pending.items()
                     if r["next_eligible"] <= s}
         if not eligible:
@@ -172,8 +181,19 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
             fresh.items(),
             key=lambda kv: (kv[1][0], kv[1][1], xxhash64_spark(kv[0])),
         )
+        taken: dict[str, int] = {}
         for cu, (porder, li, d, phash) in ranked:
-            state = "filtered" if robots_blocked(cu) else "pending"
+            blocked = robots_blocked(cu)
+            if cfg.trap_max_pending is not None and not blocked:
+                # keep rule: first (cap - pending) candidates per host in
+                # discovery order; dropped URLs are NOT marked seen, so
+                # they stay re-discoverable once the queue drains
+                h = host_of(cu)
+                used = host_pending.get(h, 0) + taken.get(h, 0)
+                if used >= cfg.trap_max_pending:
+                    continue
+                taken[h] = taken.get(h, 0) + 1
+            state = "filtered" if blocked else "pending"
             frontier[cu] = {
                 "depth": d, "order": next_order, "attempt": 0,
                 "next_eligible": s + 1, "state": state,

@@ -305,3 +305,29 @@ def test_gopher_quality_filter(spark):
     assert "too_short" not in relaxed[2]
     assert "stopword_sparse" not in relaxed[2]
     assert "top2_repetitive" in relaxed[2]
+
+
+def test_remove_boilerplate_lines(spark):
+    rows = [
+        (1, "MENU | HOME\nalpha prose one\nCopyright 2024"),
+        (2, "MENU | HOME\nbeta prose two\nCopyright 2024"),
+        # normalized dup of the nav line (case-insensitive match)
+        (3, "menu | home\ngamma prose three\nfooter only here"),
+        (4, "\n\nonly blanks around\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.remove_boilerplate_lines(df).collect()}
+    # nav (df=3) and copyright (df=2) drop everywhere; prose survives
+    assert out[1]["clean_text"] == "alpha prose one"
+    assert out[2]["clean_text"] == "beta prose two"
+    assert out[3]["clean_text"] == "gamma prose three\nfooter only here"
+    # blank lines always drop; the one unique line stays
+    assert out[4]["clean_text"] == "only blanks around"
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (4, 1)
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    # partitioning invariance: the corpus-global line-frequency verdict
+    # cannot depend on physical layout
+    re7 = {r["doc_id"]: r["clean_text"] for r in
+           dedup.remove_boilerplate_lines(df.repartition(7)).collect()}
+    assert re7 == {k: v["clean_text"] for k, v in out.items()}
