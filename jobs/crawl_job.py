@@ -50,6 +50,10 @@ def parse_args(argv):
     p.add_argument("--bucket-capacity", type=int, default=100)
     p.add_argument("--fill-quantum", type=int, default=10)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--trap-max-pending", type=int, default=None,
+                   help="spider-trap guard: max pending frontier rows per "
+                        "host; over-cap discoveries drop at insertion "
+                        "(re-discoverable once the queue drains)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--history", default=None,
                    help="parquet dir of the standing-crawl fetch history "
@@ -100,6 +104,7 @@ def main(argv=None) -> int:
         max_attempt=args.max_attempt,
         bucket_capacity=args.bucket_capacity,
         fill_quantum=args.fill_quantum,
+        trap_max_pending=args.trap_max_pending,
     )
     authority = (spark.read.parquet(args.authority)
                  if args.authority else None)
