@@ -54,6 +54,11 @@ def parse_args(argv):
                    help="spider-trap guard: max pending frontier rows per "
                         "host; over-cap discoveries drop at insertion "
                         "(re-discoverable once the queue drains)")
+    p.add_argument("--allowed-domains", default=None,
+                   help="comma-separated host allowlist (the reference's "
+                        "AllowedDomain); off-list discoveries insert as "
+                        "terminal 'filtered' rows and never consume the "
+                        "trap guard's per-host capacity")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--history", default=None,
                    help="parquet dir of the standing-crawl fetch history "
@@ -105,6 +110,9 @@ def main(argv=None) -> int:
         bucket_capacity=args.bucket_capacity,
         fill_quantum=args.fill_quantum,
         trap_max_pending=args.trap_max_pending,
+        allowed_domains=(tuple(h.strip() for h in
+                               args.allowed_domains.split(",") if h.strip())
+                         if args.allowed_domains else ()),
     )
     authority = (spark.read.parquet(args.authority)
                  if args.authority else None)

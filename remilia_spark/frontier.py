@@ -395,17 +395,24 @@ def run_superstep(
         if cfg.trap_max_pending is not None:
             # spider-trap guard: cap each host's pending queue.  Blocked
             # rows bypass the cap — they enter as terminal 'filtered'
-            # bookkeeping, never as queue mass.  Dropped candidates are
-            # NOT marked seen (seen_delta derives from new_rows), so the
-            # budget bounds queue depth without blacklisting pages.
+            # bookkeeping, never as queue mass — and "blocked" must be
+            # the SAME predicate _insert_state uses (robots OR
+            # off-allowlist), or the two would disagree on which rows
+            # consume capacity.  Dropped candidates are NOT marked seen
+            # (seen_delta derives from new_rows), so the budget bounds
+            # queue depth without blacklisting pages.
+            blocked = F.col("robots_blocked")
+            if cfg.allowed_domains:
+                blocked = blocked | ~F.col("host").isin(
+                    *cfg.allowed_domains)
             pend_counts = (frontier.where(is_pending).groupBy("host")
                            .agg(F.count(F.lit(1)).alias("_n_pending")))
             kept = cap_new_per_host(
-                fresh.where(~F.col("robots_blocked")), pend_counts,
+                fresh.where(~blocked), pend_counts,
                 cfg.trap_max_pending, n_salts=cfg.skew_salts,
                 broadcast=cfg.broadcast_politeness, approx_rows=n_cand,
                 small_max=cfg.rank_small_wave)
-            fresh = kept.unionByName(fresh.where(F.col("robots_blocked")))
+            fresh = kept.unionByName(fresh.where(blocked))
         rank_keys = ["parent_order", "link_index", "url_hash"]
         if n_eligible <= cfg.rank_small_wave:  # upper bound on wave size
             w = Window.orderBy(*rank_keys)

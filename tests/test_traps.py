@@ -119,6 +119,35 @@ def test_engine_trap_cap_matches_oracle(spark, tiny_corpus, tmp_path):
     assert s >= 2  # the walk actually visited committed snapshots
 
 
+def test_engine_trap_cap_with_allowlist_matches_oracle(
+        spark, tiny_corpus, tmp_path):
+    """Off-allowlist rows are terminal 'filtered' bookkeeping — they must
+    bypass the trap cap exactly like robots-blocked rows do (the oracle's
+    ``not blocked`` gate), or the two sides disagree on which candidates
+    consume per-host capacity."""
+    c, corpus_dir = tiny_corpus
+    pages = spark.read.parquet(str(corpus_dir / "pages.parquet"))
+    seeds = spark.read.parquet(str(corpus_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(corpus_dir / "robots.parquet"))
+    cfg = CrawlConfig(
+        max_depth=2, max_supersteps=40, trap_max_pending=2,
+        allowed_domains=("host0.test", "host1.test", "host2.test"))
+
+    want = oracle.crawl(c.pages, c.seeds, c.robots, cfg)
+    run = Engine(spark, cfg).run(pages, seeds, robots, tmp_path / "state")
+
+    got_events = [
+        (r["superstep"], r["depth"], r["host_rank"], r["discovery_order"],
+         r["url"]) for r in run.fetch_events().collect()]
+    assert got_events == [tuple(e) for e in want.fetch_events]
+    got_states = {r["url"]: r["state"] for r in run.frontier().collect()}
+    assert got_states == want.states
+    # the allowlist actually bit: some rows are filtered on hosts with no
+    # robots rule (i.e. filtered purely by the allowlist)
+    assert any(s == "filtered" and ("host3.test" in u or "host4.test" in u)
+               for u, s in got_states.items())
+
+
 def test_trap_cap_drops_are_rediscoverable(spark, tiny_corpus, tmp_path):
     """A dropped candidate is not marked seen: the guarded run's seen set
     is a subset of the unguarded run's, never a divergent set."""
