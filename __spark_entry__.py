@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from remilia_spark.backoff import backoff_steps_col
 from remilia_spark.config import CrawlConfig
-from remilia_spark.datapipe import dedup, similarity, textstats
+from remilia_spark.datapipe import dedup, pii, similarity, textstats
 from remilia_spark.datapipe.textstats import STOPWORDS
 from remilia_spark.engine import Engine
 
@@ -1730,6 +1730,71 @@ def _boilerplate_oracle() -> str:
         FROM d LEFT JOIN agg USING (doc_id)"""
 
 
+def _pii_text():
+    """documents.text + deterministic PII plants keyed off doc_id — the
+    fixture corpus is PII-free word salad, so both sides (Spark and the
+    DuckDB oracle) append the same e-mail / IPv4 / phone sentences to a
+    deterministic subset of docs; the rest exercise the no-op path."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), (did % 10000).cast("string"),
+            F.lit("@example.test now"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" server 10."), (did % 100).cast("string"),
+            F.lit(".0.1 up"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" call +1-555-010-"),
+            (F.lit(1000) + did % 9000).cast("string"),
+            F.lit(" now"))).otherwise(F.lit("")),
+    )
+
+
+def q_doc_pii(spark, sf):
+    """PII detection + fixed-token redaction (pii.pii_signals /
+    pii.redact_pii — the Dolma/RefinedWeb scrub): per-doc e-mail/IPv4/phone
+    counts off the raw text, then chained regexp_replace in e-mail -> IP
+    -> phone order.  Pure codegen column math, zero shuffle per doc."""
+    d = _read(spark, sf, "documents").select(
+        "doc_id", _pii_text().alias("text"))
+    return pii.pii_signals(d).join(
+        pii.redact_pii(d).select("doc_id", "clean_text"), "doc_id")
+
+
+def _pii_oracle() -> str:
+    cnt = "CAST(len(regexp_extract_all({x}, '{p}')) AS BIGINT)"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                      || CAST(doc_id % 10000 AS VARCHAR)
+                      || '@example.test now' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN ' server 10.'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                      || '.0.1 up' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-010-'
+                      || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      || ' now' ELSE '' END
+                   AS t
+          FROM documents),
+        h AS (
+          -- phones count/redact on the email+IP-redacted text (pii.py)
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(
+                   t, '{pii.EMAIL_RE}', '{pii.EMAIL_TOKEN}', 'g'),
+                   '{pii.IP_RE}', '{pii.IP_TOKEN}', 'g') AS half
+          FROM d)
+        SELECT doc_id,
+               {cnt.format(x="t", p=pii.EMAIL_RE)} AS n_emails,
+               {cnt.format(x="t", p=pii.IP_RE)} AS n_ips,
+               {cnt.format(x="half", p=pii.PHONE_RE)} AS n_phones,
+               regexp_replace(half, '{pii.PHONE_RE}',
+                              '{pii.PHONE_TOKEN}', 'g') AS clean_text
+        FROM h"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seen_antijoin_dedup": q_seen_antijoin_dedup,
@@ -1764,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt_keys": q_url_surt_keys,
         "url_trap_hosts": q_url_trap_hosts,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_pii": q_doc_pii,
         "doc_term_stats": q_doc_term_stats,
         "doc_posting_blocks": q_doc_posting_blocks,
         "doc_bm25_topk": q_doc_bm25_topk,
@@ -2085,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "url_surt_keys": _surt_oracle(),
         "url_trap_hosts": _trap_hosts_oracle(),
         "doc_boilerplate": _boilerplate_oracle(),
+        "doc_pii": _pii_oracle(),
         "doc_term_stats": _term_stats_oracle(),
         "doc_posting_blocks": _posting_blocks_oracle(),
         "doc_bm25_topk": _bm25_oracle(),

@@ -110,7 +110,11 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     Deterministic: labels are integer mins, so the fixpoint is unique and
     partitioning-independent.  Convergence check is one tiny aggregate per
     iteration: ``SUM(component)`` strictly decreases while any label still
-    moves, so equal sums == fixpoint (no row-wise diff join needed).
+    moves, so equal sums == fixpoint (no row-wise diff join needed).  The
+    sum runs in ``decimal(38,0)``: labels are often 63-bit hashes, and at
+    10^10 nodes a BIGINT sum overflows — under Spark 4's default ANSI
+    mode that is a hard job failure, not a wraparound (10^10 * 2^63 ~
+    10^29 fits decimal(38,0) with nine orders to spare).
 
     Scale: the symmetric edge list shuffles onto ``a`` once and persists;
     each iteration is one join + map-side-combined groupBy + a scalar agg.
@@ -127,7 +131,11 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))) \
+                 .collect()[0][0]
+
+    prev_sum = label_sum(labels)
     try:
         for _ in range(max_iterations):
             nbr = (sym.join(labels.withColumnRenamed("node", "a"), "a")
@@ -139,7 +147,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
                                       F.coalesce("nc", "component"))
                               .alias("component"))
                       .localCheckpoint(eager=True))
-            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            cur_sum = label_sum(labels)
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
