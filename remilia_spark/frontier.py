@@ -187,6 +187,24 @@ def _coalesce_for_write(df: DataFrame, est_rows: int, cap: int) -> DataFrame:
     return df.coalesce(max(1, min(cap, est_rows // 250_000 + 1)))
 
 
+def _checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
+    """Eagerly localCheckpoint independent DataFrames concurrently.
+
+    Spark schedules jobs submitted from separate driver threads
+    concurrently (the same mechanism the commit's table writes use), so k
+    independent materializations pay ~max instead of ~sum of their stage
+    walls — these are latency-bound at fixture scale, so the win is the
+    same at every core count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=True)]
+    with ThreadPoolExecutor(len(dfs)) as ex:
+        futs = [ex.submit(lambda d=d: d.localCheckpoint(eager=True))
+                for d in dfs]
+        return [f.result() for f in futs]
+
+
 def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
                     robots: DataFrame | None, cfg: CrawlConfig,
                     target_s: int,
@@ -421,6 +439,15 @@ def run_superstep(
                 (F.lit(max_order + 1) + F.row_number().over(w) - 1)
                 .cast("long"))
         else:
+            # pin the bloom/anti-join/trap pipeline ONCE before ranking:
+            # global_rank's repartitionByRange samples range boundaries by
+            # executing its child plan in full, then the shuffle executes
+            # it again — uncheckpointed, the whole candidate-filter
+            # pipeline (a Python cogroup + the seen anti-join + the trap
+            # windows) ran twice per superstep, a latency tax no core
+            # count amortizes (measured 3-11 s/busy-superstep at BOTH
+            # local[2] and local[8] on the 800k scaling corpus)
+            fresh = fresh.localCheckpoint(eager=True)
             fresh = global_rank(fresh, rank_keys, "discovery_order",
                                 start=max_order + 1,
                                 num_partitions=cfg.rank_partitions,
@@ -431,13 +458,10 @@ def run_superstep(
             F.lit(0).alias("attempt"),
             F.lit(s + 1).alias("next_eligible"),
             _insert_state(cfg).alias("state"),
-        ).localCheckpoint(eager=True)
+        )
     else:
         from .storage import FRONTIER_SCHEMA
         new_rows = spark.createDataFrame([], FRONTIER_SCHEMA)
-
-    seen_delta = new_rows.select(
-        "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
 
     # ---- state transitions for the wave (R11/R12) -------------------------
     # one checkpointed left-join tags every wave row hit/miss; without it
@@ -445,7 +469,16 @@ def run_superstep(
     # inside the frontier write AND both metrics aggregates of the commit
     wave_tagged = wave_keyed.join(
         parsed.select("url").withColumn("_hit", F.lit(True)),
-        "url", "left").localCheckpoint(eager=True)
+        "url", "left")
+    # new_rows and wave_tagged have independent lineages (candidate filter
+    # vs wave ⋈ parsed) — materialize both concurrently: two serial eager
+    # checkpoints paid ~2 stage-latency walls per superstep at every core
+    # count; overlapped they pay ~max of the two
+    new_rows, wave_tagged = _checkpoint_parallel(new_rows, wave_tagged)
+    t_ckpt = time.monotonic()
+
+    seen_delta = new_rows.select(
+        "url_hash", "url", F.lit(s + 1).cast("int").alias("first_seen_superstep"))
     fetched_rows = (
         wave_tagged.where(F.col("_hit"))
         .select(*[c for c in FRONTIER_COLS if c != "state"],
@@ -507,14 +540,17 @@ def run_superstep(
     # The collect is bounded: partitions x distinct backoff deadlines.
     wall_ms = int((time.monotonic() - t0) * 1000)  # plan-build time; the
     # write job's own duration lands in the manifest timestamp instead
-    grouped = (
-        wave.select(F.lit(0).alias("src"),
-                    F.spark_partition_id().cast("long").alias("k1"),
-                    F.col("next_eligible").cast("long").alias("k2"))
-        .unionByName(retry_rows.select(
+    # the three flag branches don't read spark_partition_id, so collapsing
+    # their (checkpointed, in-memory) partitions is free and cuts the
+    # aggregate's map-task count ~4x — at wide shuffle settings this job
+    # was ~100+ near-empty tasks of pure launch latency per superstep.
+    # The wave branch MUST keep its native partitioning: k1 IS its
+    # partition id (the per-partition lineage metric).
+    flags = (
+        retry_rows.select(
             F.lit(1).alias("src"),
             (F.col("state") == "pending").cast("long").alias("k1"),
-            F.col("next_eligible").cast("long").alias("k2")))
+            F.col("next_eligible").cast("long").alias("k2"))
         .unionByName(new_rows.select(
             F.lit(2).alias("src"),
             (F.col("state") == "filtered").cast("long").alias("k1"),
@@ -523,9 +559,17 @@ def run_superstep(
             F.lit(3).alias("src"),
             F.col("_hit").isNotNull().cast("long").alias("k1"),
             F.lit(0).cast("long").alias("k2")))
+        .coalesce(max(1, min(8, cfg.shuffle_partitions)))
+    )
+    grouped = (
+        wave.select(F.lit(0).alias("src"),
+                    F.spark_partition_id().cast("long").alias("k1"),
+                    F.col("next_eligible").cast("long").alias("k2"))
+        .unionByName(flags)
         .groupBy("src", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    t_metrics = time.monotonic()
     part_counts: dict[int, int] = {}
     wave_hist: dict[int, int] = {}
     retry_hist: dict[int, int] = {}
@@ -664,6 +708,12 @@ def run_superstep(
         "t_parse": round(t_parse - t_wave, 2),
         "t_cand": round(t_cand - t_parse, 2),
         "t_rank": round(t_mat - t_cand, 2),
+        # t_rank sub-phases: bloom/anti-join/trap/rank plan + the parallel
+        # new_rows/wave_tagged materialization, driver-side metrics
+        # collect, bloom-update plan build (residual)
+        "t_ckpt": round(t_ckpt - t_cand, 2),
+        "t_metrics": round(t_metrics - t_ckpt, 2),
+        "t_rank_resid": round(t_mat - t_metrics, 2),
         "t_commit": round(t_commit - t_mat, 2),
         "bloom_keys_per_bucket": round(bloom_keys_per_bucket, 1),
         "bloom_saturated": bloom_saturated,
