@@ -119,7 +119,16 @@ def run_bench(cpus: int, crawl_only: bool = False) -> dict:
         env["SPARK_GRAFT_BENCH_ONLY"] = "crawl"
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")], env=env,
-        capture_output=True, text=True, check=True, cwd=ROOT)
+        capture_output=True, text=True, cwd=ROOT)
+    if out.returncode != 0:
+        # surface the child's tail so a failed run is diagnosable from the
+        # harness log alone (a captured-but-dropped stderr cost round 4 a
+        # golden tenancy window)
+        sys.stderr.write("bench.py (cpus=%d) exited %d\nstdout tail:\n%s\n"
+                         "stderr tail:\n%s\n" % (
+                             cpus, out.returncode,
+                             out.stdout[-2000:], out.stderr[-2000:]))
+        raise subprocess.CalledProcessError(out.returncode, out.args)
     line = [l for l in out.stdout.strip().splitlines()
             if l.startswith("{")][-1]
     return json.loads(line)
