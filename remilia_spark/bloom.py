@@ -128,7 +128,12 @@ def split_candidates(cand: DataFrame, bloom: DataFrame, *,
     cogroup by bucket: one bitmap per task group — the bitmap bytes are
     never joined onto individual candidate rows.
     """
-    schema = cand.schema.add("maybe_seen", "boolean")
+    # never StructType.add on cand.schema: add() MUTATES the DataFrame's
+    # cached schema object, so a second split on the same frame would
+    # declare a duplicate maybe_seen field
+    from pyspark.sql.types import BooleanType, StructField, StructType
+    schema = StructType(list(cand.schema.fields)
+                        + [StructField("maybe_seen", BooleanType())])
     cand_b = cand.withColumn(
         "_bucket", bucket_col(F.col("url_hash"), num_buckets))
 

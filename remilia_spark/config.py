@@ -102,6 +102,16 @@ class CrawlConfig:
     # mid-run without false negatives), but the prefilter only pays for
     # itself once the seen set dwarfs the candidate batch:
     bloom_min_seen: int = 100_000
+    # which prefilter fills the manifest's seen-filter slot (north rule:
+    # "bloom/cuckoo URL-seen dedup").  "cuckoo" (cuckoo.py) adds key
+    # deletion (seen-TTL expiry without a rebuild) and lower memory at
+    # <3% FP; a shard that overflows flips per-shard ``saturated`` and
+    # degrades to pass-through — false negatives impossible either way.
+    seen_filter: str = "bloom"
+    # cuckoo shard geometry: slot-buckets per shard (POWER OF TWO; x4
+    # slots x 2B fp).  2^12 x 4 = 16384 keys/shard at 32 KiB; at 10^10
+    # keys configure ~4096 Spark buckets x 2^21 slot-buckets (16 MiB/task)
+    cuckoo_bucket_slots: int = 1 << 12
     # spider-trap guard (traps.cap_new_per_host): a host may hold at most
     # this many PENDING frontier rows; discovered candidates beyond its
     # remaining capacity are dropped at insertion — before ranking and

@@ -172,13 +172,11 @@ class Engine:
                           "rev", F.lit(0).cast("int")),
                       "budgets": budgets0, "seen": seen0}
             if cfg.bloom_enabled:
-                from .bloom import empty_bloom, update_bloom
-                tables["bloom"] = update_bloom(
-                    empty_bloom(self.spark, cfg.bloom_num_buckets),
-                    seen0.select("url_hash"),
-                    num_buckets=cfg.bloom_num_buckets,
-                    n_bits=cfg.bloom_bucket_bits,
-                    n_hashes=cfg.bloom_num_hashes)
+                from .seenfilter import (empty_seen_filter,
+                                         update_seen_filter)
+                tables["bloom"] = update_seen_filter(
+                    cfg, empty_seen_filter(self.spark, cfg),
+                    seen0.select("url_hash"))
             storage.commit(0, tables)
             last = 0
 

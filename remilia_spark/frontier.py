@@ -27,7 +27,6 @@ at 10^10-URL scale, driver round-trips are the scheduler bottleneck.
 
 from __future__ import annotations
 
-import math
 import time
 from collections.abc import Iterable, Iterator
 
@@ -38,7 +37,8 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from . import urlnorm
 from .backoff import backoff_steps_col
-from .bloom import split_candidates, update_bloom
+from .seenfilter import (saturation_watch, split_seen_filter,
+                         update_seen_filter)
 from .budget import attach_avail, updated_budgets
 from .config import CrawlConfig
 from .extract import extract
@@ -396,10 +396,9 @@ def run_superstep(
     elif seen is None:
         fresh = cand
     elif use_bloom and n_seen >= cfg.bloom_min_seen:
-        # bloom prefilter (§4.2): only 'maybe seen' candidates (true dupes
-        # + ~FP-rate of the fresh mass) pay the exact anti-join shuffle
-        flagged = split_candidates(cand, bloom_tbl,
-                                   num_buckets=cfg.bloom_num_buckets)
+        # bloom/cuckoo prefilter (§4.2): only 'maybe seen' candidates (true
+        # dupes + ~FP-rate of the fresh mass) pay the exact anti-join shuffle
+        flagged = split_seen_filter(cfg, cand, bloom_tbl)
         definite = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
         fresh = definite.unionByName(
@@ -608,22 +607,20 @@ def run_superstep(
                      for ne, n in sorted(wave_hist.items())]
     metrics_rows += [(s, -2000 - ne, n) + nones
                      for ne, n in sorted(retry_hist.items())]
-    # bloom saturation watchdog (driver math, no Spark job): past the ~1%
-    # design FP point the prefilter silently degrades toward pass-through —
-    # every candidate flagged "maybe seen" pays the exact anti-join again.
-    # The design-point load n*/m = -ln(1 - p^(1/k))/k keys per bit comes
-    # from FP = (1 - e^(-kn/m))^k solved at p = 1% for the configured hash
-    # count (k = 6 gives the classic m/n ≈ 9.6).  Correctness never
-    # depends on the bloom, so the response is visibility: a metrics row
+    # seen-filter saturation watchdog (driver math, no Spark job): past the
+    # design point the prefilter degrades toward pass-through — every
+    # candidate flagged "maybe seen" pays the exact anti-join again.  The
+    # per-impl thresholds (bloom: ~1% FP load solved from
+    # FP = (1 - e^(-kn/m))^k; cuckoo: 95% of 4-slot fill) live in
+    # seenfilter.saturation_watch.  Correctness never depends on the
+    # filter, so the response is visibility: a metrics row
     # (partition_id = -3, rows_in = total keys) + a stats flag telling the
-    # operator to re-deploy with more buckets (the bitmap cannot be
-    # rebuilt mid-run without false negatives; see config.bloom_*).
-    bloom_keys_per_bucket = (n_seen / cfg.bloom_num_buckets) if use_bloom \
-        else 0.0
-    _k = max(1, cfg.bloom_num_hashes)
-    _fill = -math.log(1.0 - 0.01 ** (1.0 / _k)) / _k  # keys per bit at 1% FP
-    bloom_saturated = use_bloom and \
-        bloom_keys_per_bucket > cfg.bloom_bucket_bits * _fill
+    # operator to re-deploy with more buckets (a bloom cannot be rebuilt
+    # mid-run without false negatives; see config.bloom_* / cuckoo_*).
+    if use_bloom:
+        bloom_keys_per_bucket, bloom_saturated = saturation_watch(cfg, n_seen)
+    else:
+        bloom_keys_per_bucket, bloom_saturated = 0.0, False
     if bloom_saturated:
         metrics_rows.append((s, -3, int(n_seen)) + nones)
     # driver-local rows commit without a Spark job (see LocalTable) — a
@@ -654,12 +651,10 @@ def run_superstep(
         "metrics": metrics,
     }
     if use_bloom:
-        # fold the new keys in; never (re)create a bloom mid-run — a bloom
+        # fold the new keys in; never (re)create a filter mid-run — one
         # missing earlier keys would cause false negatives (= lost dedup)
-        tables["bloom"] = update_bloom(
-            bloom_tbl, new_rows.select("url_hash"),
-            num_buckets=cfg.bloom_num_buckets,
-            n_bits=cfg.bloom_bucket_bits, n_hashes=cfg.bloom_num_hashes)
+        tables["bloom"] = update_seen_filter(
+            cfg, bloom_tbl, new_rows.select("url_hash"))
     # The eager checkpoints above already materialized the shared lineage
     # exactly once (wave -> parsed -> cand -> new_rows), so the 5-6
     # concurrent write jobs below are shallow scans over in-memory blocks —
