@@ -60,6 +60,22 @@ def parse_args(argv):
                         "terminal 'filtered' rows and never consume the "
                         "trap guard's per-host capacity")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--seen-filter", default="bloom",
+                   choices=("bloom", "cuckoo"),
+                   help="seen-prefilter impl (north rule: bloom/cuckoo); "
+                        "cuckoo supports --expire-seen-before without a "
+                        "filter rebuild")
+    p.add_argument("--expire-seen-before", type=int, default=None,
+                   help="maintenance before the run: drop seen entries "
+                        "first seen before this superstep (seen-TTL) so "
+                        "stale URLs become re-discoverable; cuckoo deletes "
+                        "in place, bloom rebuilds from the kept set. "
+                        "Requires --resume (operates on the checkpoint)")
+    p.add_argument("--merge-seeds", default=None,
+                   help="parquet of (url, seed_order) — e.g. the streaming "
+                        "landing table via read_landing — injected into the "
+                        "checkpoint as new pending rows before the run. "
+                        "Requires --resume")
     p.add_argument("--history", default=None,
                    help="parquet dir of the standing-crawl fetch history "
                         "(url, fetch_idx, fetch_epoch, content_hash); this "
@@ -113,7 +129,23 @@ def main(argv=None) -> int:
         allowed_domains=(tuple(h.strip() for h in
                                args.allowed_domains.split(",") if h.strip())
                          if args.allowed_domains else ()),
+        seen_filter=args.seen_filter,
     )
+    if args.expire_seen_before is not None or args.merge_seeds:
+        if not args.resume:
+            raise SystemExit("--expire-seen-before/--merge-seeds operate "
+                             "on an existing checkpoint: pass --resume")
+        from remilia_spark import maintenance
+        from remilia_spark.storage import ParquetSnapshotStorage
+
+        st = ParquetSnapshotStorage(spark, args.state)
+        if args.expire_seen_before is not None:
+            print(json.dumps(maintenance.expire_seen(
+                spark, st, cfg, older_than=args.expire_seen_before)))
+        if args.merge_seeds:
+            print(json.dumps(maintenance.merge_seeds(
+                spark, st, cfg, spark.read.parquet(args.merge_seeds),
+                robots=robots)))
     authority = (spark.read.parquet(args.authority)
                  if args.authority else None)
     run = Engine(spark, cfg).run(pages, seeds, robots, args.state,
