@@ -86,6 +86,12 @@ def parse_args(argv):
     p.add_argument("--fetch-epoch", type=int, default=None,
                    help="epoch seconds stamped on this cycle's history "
                         "rows (default: wall clock)")
+    p.add_argument("--results-out", default=None,
+                   help="export this cycle's results table to a parquet "
+                        "dir; with --history the export is revisit-"
+                        "compacted first (unchanged refetches store "
+                        "revisit=true + content_hash, no text — the CC "
+                        "revisit-record analogue)")
     p.add_argument("--schedule-out", default=None,
                    help="write the recrawl schedule (recrawl_schedule over "
                         "the updated history) to this parquet dir; pair "
@@ -150,8 +156,10 @@ def main(argv=None) -> int:
                  if args.authority else None)
     run = Engine(spark, cfg).run(pages, seeds, robots, args.state,
                                  resume=args.resume, authority=authority)
-    if args.history or args.schedule_out:
+    if args.history or args.schedule_out or args.results_out:
         import time as _time
+
+        from pathlib import Path as _Path
 
         from remilia_spark import recrawl
 
@@ -159,6 +167,14 @@ def main(argv=None) -> int:
             else int(_time.time())
         rows = recrawl.history_from_results(run.results(), cycle=args.cycle,
                                             fetch_epoch=epoch)
+        if args.results_out:
+            # export BEFORE the history append: revisit status compares
+            # against PREVIOUS cycles, never this cycle's own hashes
+            out = run.results()
+            if args.history and _Path(args.history).exists():
+                out = recrawl.revisit_compact(
+                    out, spark.read.parquet(args.history))
+            out.write.mode("overwrite").parquet(args.results_out)
         if args.history:
             # append-only history table (Iceberg append at deployment)
             rows.write.mode("append").parquet(args.history)

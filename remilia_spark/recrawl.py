@@ -68,6 +68,43 @@ def due_urls(schedule: DataFrame, now_epoch: int) -> DataFrame:
                    .select("url")
 
 
+def revisit_compact(results: DataFrame, history: DataFrame) -> DataFrame:
+    """Unchanged refetches store no text — Common Crawl's *revisit record*
+    (``WARC-Type: revisit``, identical-payload-digest profile) re-expressed
+    for the results table.
+
+    In a standing crawl most refetches find the page unchanged; at 100-TB
+    scale storing the full extracted text again per cycle is the dominant
+    storage cost.  This marks each result ``revisit = true`` when its
+    content hash equals the url's LAST recorded history hash and nulls the
+    ``text`` column for those rows; ``content_hash`` stays, so the payload
+    remains content-addressable from the cycle that first stored it.
+
+    Shuffle shape: one groupBy(url) over the history (``max(struct(...))``
+    — map-side combinable, no window) + one hash join on url.  Nothing
+    here is driver-side or per-row Python.
+    """
+    last = (
+        history
+        .groupBy("url")
+        .agg(F.max(F.struct("fetch_idx", "fetch_epoch", "content_hash"))
+             .alias("pick"))
+        .select("url", F.col("pick.content_hash").alias("_prev_hash"))
+    )
+    cur = results.withColumn(
+        "content_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    unchanged = (F.col("_prev_hash").isNotNull()
+                 & (F.col("_prev_hash") == F.col("content_hash")))
+    return (
+        cur.join(last, "url", "left")
+        .withColumn("revisit", F.coalesce(unchanged, F.lit(False)))
+        .withColumn("text", F.when(F.col("revisit"),
+                                   F.lit(None).cast("string"))
+                    .otherwise(F.col("text")))
+        .drop("_prev_hash")
+    )
+
+
 def change_stats(history: DataFrame) -> DataFrame:
     """(url, n_fetches, n_changes, change_rate, last_epoch) per url.
 

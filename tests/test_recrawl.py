@@ -71,3 +71,37 @@ def test_bad_clamp_raises(history):
     with pytest.raises(ValueError):
         recrawl.recrawl_schedule(history, min_interval_s=10,
                                  max_interval_s=5)
+
+
+def test_revisit_compact_nulls_unchanged_text(spark, history):
+    """Unchanged refetch -> revisit=true + text nulled; changed or brand-new
+    urls keep their text.  The LAST history hash decides, not any earlier
+    one."""
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # history fixture's last hashes: u/hot -> "d", u/static -> "a"
+    results = spark.createDataFrame(
+        [("u/hot", "d-text"),        # md5 != md5("d") fixture hash: changed
+         ("u/static", "same"),       # crafted below to match last hash
+         ("u/unseen", "fresh")],
+        "url string, text string")
+    # craft a history whose stored hash IS md5 of the current text so the
+    # unchanged case actually triggers (fixture hashes are letters, not md5s)
+    hist = _hist(spark, [
+        ("u/hot", 0, BASE, md5("old")),           # changed since
+        ("u/hot", 1, BASE + 1, md5("older")),     # (last = fetch_idx 1)
+        ("u/static", 0, BASE, md5("not-this")),
+        ("u/static", 1, BASE + 1, md5("same")),   # last matches current
+    ])
+    out = {r["url"]: r for r in
+           recrawl.revisit_compact(results, hist).collect()}
+    assert out["u/static"]["revisit"] is True
+    assert out["u/static"]["text"] is None
+    assert out["u/static"]["content_hash"] == md5("same")  # still addressable
+    assert out["u/hot"]["revisit"] is False
+    assert out["u/hot"]["text"] == "d-text"
+    assert out["u/unseen"]["revisit"] is False
+    assert out["u/unseen"]["text"] == "fresh"
