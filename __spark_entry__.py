@@ -1183,6 +1183,57 @@ def _recrawl_oracle() -> str:
         FROM s"""
 
 
+def q_doc_revisit_compact(spark, sf):
+    """Revisit compaction (recrawl.revisit_compact — the CC revisit-record
+    analogue): documents play a standing crawl's current results
+    (url = doc_id); the synthesized history has TWO rows per url — an
+    older mismatching hash at fetch_idx 0 and, at fetch_idx 1, a hash
+    that matches the current text for even doc_ids and differs for odd —
+    and doc_id % 3 == 0 has no history at all (fresh URLs).  Pins
+    last-hash-wins, hash-equality, fresh-url, and text-null semantics."""
+    from remilia_spark import recrawl
+
+    docs = _read(spark, sf, "documents")
+    results = docs.select(F.col("doc_id").cast("string").alias("url"),
+                          "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    known = docs.where(F.col("doc_id") % 3 != 0)
+    hist = known.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("long").alias("fetch_idx"),
+        F.lit(1_700_000_000).cast("long").alias("fetch_epoch"),
+        F.md5(F.concat(txt, F.lit("old"))).alias("content_hash"),
+    ).unionByName(known.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(1).cast("long").alias("fetch_idx"),
+        F.lit(1_700_086_400).cast("long").alias("fetch_epoch"),
+        F.when(F.col("doc_id") % 2 == 0, F.md5(txt))
+        .otherwise(F.md5(F.concat(txt, F.lit("!")))).alias("content_hash"),
+    ))
+    out = recrawl.revisit_compact(results, hist)
+    return out.select(
+        "url", "revisit", "content_hash",
+        F.col("text").isNull().alias("text_dropped"))
+
+
+_REVISIT_ORACLE = """
+    WITH cur AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, text,
+             md5(coalesce(text, '')) AS content_hash
+      FROM documents),
+    last_h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 2 = 0 THEN md5(coalesce(text, ''))
+                  ELSE md5(coalesce(text, '') || '!') END AS prev_hash
+      FROM documents WHERE doc_id % 3 <> 0)
+    SELECT c.url,
+           coalesce(h.prev_hash = c.content_hash, FALSE) AS revisit,
+           c.content_hash,
+           (coalesce(h.prev_hash = c.content_hash, FALSE)
+            OR c.text IS NULL) AS text_dropped
+    FROM cur c LEFT JOIN last_h h ON c.url = h.url"""
+
+
 _IDX_BLOCK = 64
 
 
@@ -1825,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bucket": q_doc_lm_bucket,
         "pipeline_corpus": q_pipeline_corpus,
         "url_recrawl": q_url_recrawl,
+        "doc_revisit_compact": q_doc_revisit_compact,
         "link_anchor_topk": q_link_anchor_topk,
         "url_surt_keys": q_url_surt_keys,
         "url_trap_hosts": q_url_trap_hosts,
@@ -2147,6 +2199,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_bucket": _lm_bucket_oracle(),
         "pipeline_corpus": _pipeline_corpus_oracle(),
         "url_recrawl": _recrawl_oracle(),
+        "doc_revisit_compact": _REVISIT_ORACLE,
         "link_anchor_topk": _anchor_topk_oracle(),
         "url_surt_keys": _surt_oracle(),
         "url_trap_hosts": _trap_hosts_oracle(),
