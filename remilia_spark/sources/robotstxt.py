@@ -67,6 +67,52 @@ def parse_robots_txt(body: bytes | str, agent: str = "*") \
     return disallow, delay
 
 
+def parse_sitemap_directives(body: bytes | str) -> list[str]:
+    """``Sitemap:`` directive URLs from a robots.txt body.
+
+    Per the REP these are GLOBAL lines (independent of any user-agent
+    group, and the value is a full URL, case-preserved) — the standard
+    sitemap-discovery path: fetch robots.txt → collect ``Sitemap:`` URLs →
+    fetch + ``sources.sitemap.sitemap_urls`` → seed rows.  Order-preserving
+    and duplicate-free (first occurrence wins) so downstream seed order is
+    deterministic."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", "replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in seen:
+                seen.add(val)
+                out.append(val)
+    return out
+
+
+def sitemap_directives(fetched, host_col: str = "host",
+                       body_col: str = "body"):
+    """(host, body) robots.txt rows → ``(host, sitemap_url, sm_order)``
+    rows, ready to fetch and feed ``sources.sitemap.sitemap_urls``.
+    mapInPandas like ``robots_table`` — one Python call per Arrow batch.
+    """
+    def _parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls, orders = [], [], []
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                for i, u in enumerate(parse_sitemap_directives(
+                        b if b is not None else b"")):
+                    hosts.append(h)
+                    urls.append(u)
+                    orders.append(i)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls,
+                                "sm_order": orders})
+
+    return fetched.select(host_col, body_col).mapInPandas(
+        _parse, "host string, sitemap_url string, sm_order int")
+
+
 def robots_table(fetched, host_col: str = "host", body_col: str = "body",
                  agent: str = "*"):
     """``(host, body:binary)`` rows → robots DataFrame (ROBOTS_SCHEMA)."""

@@ -108,3 +108,55 @@ def test_sitemap_urls_spark(spark):
                     ("http://host0.test/b", False),
                     ("http://host0.test/sitemap-1.xml", True),
                     ("http://host0.test/sitemap-2.xml.gz", True)}
+
+
+ROBOTS_WITH_SITEMAPS = b"""# example
+User-agent: *
+Disallow: /private/
+Sitemap: http://host0.test/sitemap.xml
+User-agent: other
+Disallow: /
+Sitemap: http://host0.test/sitemap-extra.xml.gz
+Sitemap: http://host0.test/sitemap.xml
+sitemap: http://host0.test/CaseKept.xml
+"""
+
+
+def test_parse_sitemap_directives_pure():
+    """Sitemap: lines are GLOBAL (collected from any group position),
+    order-preserving, first-occurrence deduped, value case preserved."""
+    from remilia_spark.sources import robotstxt
+
+    got = robotstxt.parse_sitemap_directives(ROBOTS_WITH_SITEMAPS)
+    assert got == ["http://host0.test/sitemap.xml",
+                   "http://host0.test/sitemap-extra.xml.gz",
+                   "http://host0.test/CaseKept.xml"]
+    assert robotstxt.parse_sitemap_directives(b"User-agent: *\n") == []
+
+
+def test_robots_to_sitemap_to_seeds_composition(spark):
+    """The standard discovery chain end-to-end: robots.txt Sitemap:
+    directives -> (fetch) -> sitemap parse -> seed URL rows."""
+    import pyspark.sql.functions as F
+
+    from remilia_spark.sources import robotstxt
+
+    sm_body = (b'<?xml version="1.0"?>'
+               b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               b'<url><loc>http://host0.test/a</loc></url>'
+               b'<url><loc>http://host0.test/b</loc></url></urlset>')
+    robots_rows = spark.createDataFrame(
+        [("host0.test", bytearray(ROBOTS_WITH_SITEMAPS)),
+         ("host1.test", bytearray(b"User-agent: *\nDisallow:\n"))],
+        "host string, body binary")
+    directives = robotstxt.sitemap_directives(robots_rows)
+    got = {(r["host"], r["sitemap_url"], r["sm_order"])
+           for r in directives.collect()}
+    assert got == {("host0.test", "http://host0.test/sitemap.xml", 0),
+                   ("host0.test", "http://host0.test/sitemap-extra.xml.gz", 1),
+                   ("host0.test", "http://host0.test/CaseKept.xml", 2)}
+    # "fetch" the first directive's body (corpus-join stand-in), parse it
+    fetched = directives.where("sm_order = 0").select("sitemap_url") \
+        .withColumn("body", F.lit(bytearray(sm_body)))
+    urls = {r["url"] for r in sitemap_urls(fetched).collect()}
+    assert urls == {"http://host0.test/a", "http://host0.test/b"}
