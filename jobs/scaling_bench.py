@@ -156,11 +156,21 @@ def main() -> int:
 
     # warm-up pass: both JVM levels touch the corpus once so no timed run
     # pays a cold page cache (round-2's first pair measured exactly that —
-    # a fake 0.94 efficiency from low-cold vs high-warm)
-    low = run_bench(N_LOW)          # full query table, once per level
-    high = run_bench(N_HIGH)
+    # a fake 0.94 efficiency from low-cold vs high-warm).
+    # SPARK_GRAFT_SCALE_SKIP_WARMUP=1 skips it — for a caller (the
+    # quiet-window hunter) that already pre-warmed the corpus and wants
+    # the first MEASURED pair to start before the window decays; requires
+    # rounds >= 1 since there is no warm-up pair to fall back to.
+    skip_warmup = os.environ.get("SPARK_GRAFT_SCALE_SKIP_WARMUP") == "1"
+    if skip_warmup and rounds < 1:
+        raise SystemExit("SKIP_WARMUP needs SPARK_GRAFT_SCALE_ROUNDS >= 1")
+    low = high = None
+    if not skip_warmup:
+        low = run_bench(N_LOW)      # full query table, once per level
+        high = run_bench(N_HIGH)
     pairs = []                      # (lo_parsed, hi_parsed, p_lo, p_hi, hw)
-    hashes = {low["crawl_order_hash"], high["crawl_order_hash"]}
+    hashes = set() if skip_warmup else \
+        {low["crawl_order_hash"], high["crawl_order_hash"]}
     for _ in range(rounds):
         if sum(1 for p in pairs if drift(p[2], p[3]) <= max_drift) \
                 >= want_admissible:
@@ -177,6 +187,8 @@ def main() -> int:
         # SPARK_GRAFT_SCALE_ROUNDS=0: fall back to the warm-up pair (no
         # probes bracket it — mark them equal so it reads as admissible)
         pairs = [(low, high, 1.0, 1.0, None)]
+    if low is None:                 # skip-warmup: report table from the
+        low, high = pairs[0][0], pairs[0][1]  # first measured pair
     admissible = [p for p in pairs if drift(p[2], p[3]) <= max_drift]
     used = admissible if admissible else pairs
     def pair_eff(p):
@@ -253,7 +265,7 @@ def main() -> int:
         "phase_scaling_median_round": phase_scaling,
         "urls_per_sec": {f"local[{N_LOW}]": med[0]["value"],
                          f"local[{N_HIGH}]": med[1]["value"]},
-        "full_table_warmup_run": {
+        "full_table_warmup_run": None if skip_warmup else {
             f"local[{N_LOW}]": low["queries"],
             f"local[{N_HIGH}]": high["queries"]},
         "crawl_urls_processed": med[0]["crawl_urls_processed"],
@@ -306,18 +318,32 @@ def main() -> int:
         "",
         f"Per-phase scaling efficiency, median round: {phase_scaling}",
         "",
-        "Full query table (separate warm-up pass, not part of the "
-        "efficiency sample):",
-        "",
-        "| config | minhash | doc_stats | embed_topk | frontier_ops |",
-        "|---|---|---|---|---|",
-        f"| local[{N_LOW}]  | {low['queries']['minhash_dedup']} | "
-        f"{low['queries']['doc_stats']} | {low['queries']['embed_topk']} | "
-        f"{low['queries']['frontier_ops']} |",
-        f"| local[{N_HIGH}] | {high['queries']['minhash_dedup']} | "
-        f"{high['queries']['doc_stats']} | {high['queries']['embed_topk']} | "
-        f"{high['queries']['frontier_ops']} |",
-        "",
+    ]
+    if skip_warmup:
+        md += [
+            "Full query table: skipped this capture (warm-up pass "
+            "disabled — corpus pre-warmed by the quiet-window hunter; "
+            "see an earlier full run for the per-query table).",
+            "",
+        ]
+    else:
+        md += [
+            "Full query table (separate warm-up pass, not part of the "
+            "efficiency sample):",
+            "",
+            "| config | minhash | doc_stats | embed_topk | frontier_ops |",
+            "|---|---|---|---|---|",
+            f"| local[{N_LOW}]  | {low['queries']['minhash_dedup']} | "
+            f"{low['queries']['doc_stats']} | "
+            f"{low['queries']['embed_topk']} | "
+            f"{low['queries']['frontier_ops']} |",
+            f"| local[{N_HIGH}] | {high['queries']['minhash_dedup']} | "
+            f"{high['queries']['doc_stats']} | "
+            f"{high['queries']['embed_topk']} | "
+            f"{high['queries']['frontier_ops']} |",
+            "",
+        ]
+    md += [
         f"**Scaling efficiency ({N_LOW}→{N_HIGH} cores): "
         f"{report['value']}** (median over {len(used)} admissible of "
         f"{len(pairs)} interleaved rounds; a round is admissible when the "
@@ -358,6 +384,11 @@ def main() -> int:
         json.dumps(report, indent=1),
         "```",
     ]
+    # the replication narrative lives in BENCH/NOTES.md so a regenerated
+    # headline never wipes it — appended verbatim to every report
+    notes = bench_dir / "NOTES.md"
+    if notes.exists():
+        md += ["", notes.read_text().rstrip()]
     (bench_dir / "BASELINE.md").write_text("\n".join(md) + "\n")
     print(json.dumps(report))
     return 0
