@@ -69,10 +69,17 @@ def current_raw_eff() -> float:
 
 def prewarm() -> None:
     """Touch the corpus at both JVM levels once (crawl only) so a later
-    capture's first measured run pays no cold page cache."""
+    capture's first measured run pays no cold page cache.  Must use the
+    scaling bench's exact corpus parameters — the cache dir is keyed by
+    (pages, seed, n_seeds), so differing sizes would warm a different
+    corpus than the capture reads."""
+    from scaling_bench import BENCH_DEPTH, BENCH_PAGES, BENCH_SEEDS
     for cpus in (N_LOW, N_HIGH):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_BENCH_ONLY="crawl",
+                   SPARK_GRAFT_BENCH_PAGES=BENCH_PAGES,
+                   SPARK_GRAFT_BENCH_SEEDS=BENCH_SEEDS,
+                   SPARK_GRAFT_BENCH_DEPTH=BENCH_DEPTH,
                    SPARK_GRAFT_FETCH_MIN_PAGES="0",
                    SPARK_GRAFT_SHUFFLE=str(4 * cpus))
         print(f"[window_watch] pre-warming local[{cpus}] ...", flush=True)
