@@ -320,6 +320,69 @@ def q_doc_simhash(spark, sf):
     return dedup.simhash(_read(spark, sf, "documents"), bits=48)
 
 
+def q_doc_simhash_near_dup(spark, sf):
+    """SimHash near-dup pair join: fingerprints -> banded hamming LSH
+    (dedup.hamming_near_duplicates; exhaustive for max_hamming < n_bands,
+    so the brute-force DuckDB oracle is exact).  The fixture corpus has no
+    natural near-dups, so twins are PLANTED on both sides (the doc_pii
+    pattern): doc_id < 25 gets an identical twin at +10000 (hamming 0);
+    25 <= doc_id < 50 gets a one-extra-token twin at +20000 (small,
+    text-dependent hamming)."""
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    twins = d.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    tweaked = d.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)) \
+        .select((F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzneardup")).alias("text"))
+    docs = d.unionByName(twins).unionByName(tweaked)
+    sim = dedup.simhash(docs, bits=48)
+    return dedup.hamming_near_duplicates(
+        sim, "doc_id", "simhash", bits=48, n_bands=6, max_hamming=5
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_near_dup_oracle() -> str:
+    """DuckDB twin of q_doc_simhash_near_dup: the doc_simhash fingerprint
+    CTEs over the planted-union corpus, then the brute-force all-pairs
+    hamming filter (== the banded join for max_hamming 5 < 6 bands)."""
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25
+          UNION ALL
+          SELECT doc_id + 20000, text || ' zzneardup' FROM documents
+          WHERE doc_id >= 25 AND doc_id < 50),
+        w AS (
+          SELECT doc_id, unnest({toks_l}) AS w FROM docs),
+        c AS (
+          SELECT doc_id, w, COUNT(*) AS cnt,
+                 {_HASH60_SQL.format(x="w")} AS h
+          FROM w GROUP BY doc_id, w),
+        pb AS (
+          SELECT doc_id, b.b AS b,
+                 SUM(CASE WHEN (h // CAST(POW(2.0, b.b) AS BIGINT)) % 2 = 1
+                          THEN cnt ELSE -cnt END) AS s
+          FROM c CROSS JOIN (SELECT unnest(range(0, 48)) AS b) b
+          GROUP BY doc_id, b.b),
+        fp0 AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0
+                               THEN CAST(POW(2.0, b) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM pb GROUP BY doc_id),
+        fp AS (
+          SELECT d.doc_id, COALESCE(fp0.simhash, 0) AS simhash
+          FROM docs d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 5"""
+
+
 def q_doc_ngram_jaccard(spark, sf):
     """n-gram (word-bigram) Jaccard verify driven by LSH candidates.
 
@@ -601,6 +664,120 @@ def q_media_features(spark, sf):
         # engines round the identical float32-exact double
         F.round(F.col("f").cast("double"), 6).alias("lum_mean"),
         "n_bytes")
+
+
+def _phash_media(spark, sf):
+    """Synthetic image corpus with PLANTED near-dup groups: media
+    doc_id // 4 shares a base pattern; variant p = doc_id % 4 brightens
+    the top-left p grid cells only (pixel column 0, rows < 2p), so
+    within-group dHashes differ in <= 3 bits while cross-group hashes
+    differ in ~30 — the image twin of the doc_pii planted fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import encode_ppm
+
+    W, H = _MEDIA_W, _MEDIA_H
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _MEDIA_N).select("doc_id")
+
+    def gen(batches):
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, p = did // 4, did % 4
+                bump = ((x == 0) & (y < 2 * p)) * 64
+                # group-dependent SLOPES (not just offsets): adjacent-pixel
+                # comparisons — what dHash sees — differ across groups, so
+                # cross-group hamming is large and the planted groups are
+                # the only near-dups
+                arr = np.stack([
+                    (g * 7 + x * (3 + 31 * (g % 5)) + y * 5 + bump) % 256,
+                    (g * 11 + x * 13 + y * (2 + 29 * (g % 7))) % 256,
+                    (g * 3 + x * (1 + 37 * (g % 3)) + y * 17) % 256,
+                ], axis=-1).astype(np.uint8)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "image",
+                "payload": payloads, "width": W, "height": H,
+                "duration_ms": 0})
+
+    return d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def q_media_phash(spark, sf):
+    """Image perceptual hashing end-to-end: binary payload -> real PPM
+    decode -> 60-bit dHash (codecs.dhash60), one decode per payload per
+    Arrow batch; only 16-byte (id, hash) rows leave the stage."""
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_auto
+
+    return multimodal.perceptual_hash(_phash_media(spark, sf),
+                                      decoder=decode_auto)
+
+
+def q_media_phash_near_dup(spark, sf):
+    """Image near-dup detection: perceptual hashes -> banded hamming LSH
+    (exhaustive for max_hamming < n_bands, so the brute-force DuckDB
+    oracle is exact).  Finds the planted variant groups."""
+    from remilia_spark.datapipe.dedup import hamming_near_duplicates
+
+    hashes = q_media_phash(spark, sf)
+    return hamming_near_duplicates(
+        hashes, "media_id", "phash", bits=60, n_bands=6, max_hamming=5
+    ).select(F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"),
+             F.col("hamming").cast("long").alias("hamming"))
+
+
+def _phash_lum_sql() -> str:
+    """WITH-clause prefix: (media_id, gy, gx, lum) — the dHash grid
+    luminance, replaying _phash_media's pixel formula at the 11x6 grid
+    points only (sx = (gx*W)//11, sy = 2*gy)."""
+    w, h, n = _MEDIA_W, _MEDIA_H, _MEDIA_N
+    sx, sy = f"((gx.gx * {w}) // 11)", "(gy.gy * 2)"
+    return f"""
+        d AS (SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS p
+              FROM documents WHERE doc_id < {n}),
+        lum AS (
+          SELECT media_id, gy.gy AS gy, gx.gx AS gx,
+                 299 * ((g * 7 + {sx} * (3 + 31 * (g % 5)) + {sy} * 5
+                         + CASE WHEN {sx} = 0 AND {sy} < 2 * p
+                                THEN 64 ELSE 0 END) % 256)
+                 + 587 * ((g * 11 + {sx} * 13
+                           + {sy} * (2 + 29 * (g % 7))) % 256)
+                 + 114 * ((g * 3 + {sx} * (1 + 37 * (g % 3))
+                           + {sy} * 17) % 256) AS lum
+          FROM d
+          CROSS JOIN (SELECT unnest(range(0, 11)) AS gx) gx
+          CROSS JOIN (SELECT unnest(range(0, 6)) AS gy) gy),
+        ph AS (
+          SELECT a.media_id,
+                 CAST(SUM(CASE WHEN a.lum > b.lum
+                          THEN CAST(POW(2.0, a.gy * 10 + a.gx) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS phash
+          FROM lum a JOIN lum b ON a.media_id = b.media_id
+                                AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 10
+          GROUP BY a.media_id)"""
+
+
+def _media_phash_oracle() -> str:
+    return f"WITH {_phash_lum_sql()} SELECT media_id, phash FROM ph"
+
+
+def _media_phash_near_dup_oracle() -> str:
+    # brute-force all-pairs filter == the banded join (max_hamming 5 < 6
+    # bands is exhaustive by pigeonhole)
+    return f"""
+        WITH {_phash_lum_sql()}
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 5"""
 
 
 def _media_features_oracle() -> str:
@@ -1864,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -1893,6 +2071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_audio": q_media_audio,
         "media_video": q_media_video,
+        "media_phash": q_media_phash,
+        "media_phash_near_dup": q_media_phash_near_dup,
         "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
     }
@@ -2072,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
+        "doc_simhash_near_dup": _simhash_near_dup_oracle(),
         "doc_ngram_jaccard": _neardup_sql(k=2, num_perm=8, bands=4,
                                           threshold=0.2),
         "doc_near_dup_lsh": _neardup_sql(k=3, num_perm=8, bands=4,
@@ -2188,6 +2369,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle(),
         "media_audio": _media_audio_oracle(),
         "media_video": _media_video_oracle(),
+        "media_phash": _media_phash_oracle(),
+        "media_phash_near_dup": _media_phash_near_dup_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),

@@ -141,6 +141,36 @@ def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
     return arr[yi][:, xi]
 
 
+def dhash60(arr: np.ndarray) -> int:
+    """60-bit perceptual difference hash (dHash) over real pixels.
+
+    Pinned spec (integer-exact, so a SQL twin can replay it bit-for-bit):
+
+    * luminance per pixel = ``299*R + 587*G + 114*B`` (plain ints — no
+      float, no /1000: only comparisons matter);
+    * nearest-neighbor downsample to an 11x6 grid with floor indexing —
+      ``src = arr[(gy*H)//6][(gx*W)//11]`` (works for any image >= 1x1);
+    * bit ``gy*10 + gx`` is set when grid[gy][gx] > grid[gy][gx+1]
+      (6 rows x 10 horizontal comparisons = 60 bits).
+
+    60 bits, not 64, for the same reason the text dedup ops hash lines
+    and blocks to 60 bits: the value stays positive in a signed BIGINT
+    on every engine (Spark long, DuckDB BIGINT), so band extraction can
+    use plain integer division and XOR/bit_count never see a sign bit.
+    """
+    h, w = arr.shape[:2]
+    lum = (299 * arr[:, :, 0].astype(np.int64)
+           + 587 * arr[:, :, 1].astype(np.int64)
+           + 114 * arr[:, :, 2].astype(np.int64))
+    yi = (np.arange(6) * h) // 6
+    xi = (np.arange(11) * w) // 11
+    g = lum[yi][:, xi]                      # (6, 11) grid
+    bits = g[:, :-1] > g[:, 1:]             # (6, 10) comparisons
+    weights = (np.int64(1) << (np.arange(6)[:, None] * 10
+                               + np.arange(10)[None, :]))
+    return int((bits * weights).sum())
+
+
 def pixel_feature(arr: np.ndarray, dim: int) -> np.ndarray:
     """Deterministic dim-length float32 feature from real pixels: per-chunk
     luminance means over the row-major flattened image, normalized to

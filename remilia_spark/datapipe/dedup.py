@@ -277,6 +277,53 @@ def benchmark_contamination(train: DataFrame, bench: DataFrame,
     )
 
 
+def hamming_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            hash_col: str = "simhash", bits: int = 48,
+                            n_bands: int = 6,
+                            max_hamming: int = 5) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose ``hash_col`` fingerprints differ
+    in at most ``max_hamming`` bits — the pair-join stage for SimHash
+    (text) and dHash (``multimodal.perceptual_hash``, images).
+
+    Banded LSH, never all-pairs: the ``bits``-wide hash splits into
+    ``n_bands`` contiguous bands; two hashes within ``max_hamming`` must
+    agree on at least one whole band whenever ``max_hamming < n_bands``
+    (pigeonhole), so under that precondition the output EQUALS the
+    brute-force all-pairs filter — which is what the DuckDB oracles run.
+    Only (id, hash) rows shuffle (~16 bytes); with B bands a fingerprint
+    explodes into B rows and pairs form per (band, band-value) bucket.
+    A bucket of b identical hashes emits b*(b-1)/2 pairs — inherent to
+    pair output, not the join (feed ``graph.connected_components`` to turn
+    pairs into clusters); exact-dup mega-clusters should be collapsed by
+    exact dedup first.  Hashes must be non-negative (the 60/48-bit ops
+    here guarantee it), so band extraction is plain integer division.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}) for the band join to be exhaustive")
+    width = -(-bits // n_bands)       # ceil: last band may be narrower
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(hash_col).cast("long").alias("_h"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b")
+    # non-literal shift: h DIV 2^(width*b) (exact — width*b < 63, h >= 0)
+    bval = F.expr(f"(_h DIV CAST(POW(2.0D, {width} * b) AS BIGINT)) "
+                  f"% CAST(POW(2.0D, {width}) AS BIGINT)")
+    banded = src.select("_id", "_h", b).withColumn("bv", bval)
+    a = banded.select(F.col("_id").alias("id_a"),
+                      F.col("_h").alias("h_a"), "b", "bv")
+    c = banded.select(F.col("_id").alias("id_b"),
+                      F.col("_h").alias("h_b"), "b", "bv")
+    return (
+        a.join(c, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b").distinct()
+        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = 48) -> DataFrame:
     """(doc_id, simhash) — term-frequency-weighted SimHash, ``bits`` wide.

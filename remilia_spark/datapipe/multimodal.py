@@ -85,6 +85,40 @@ def extract_features(df: DataFrame, dim: int = 8,
         fn, FEATURES_SCHEMA)
 
 
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def perceptual_hash(df: DataFrame, decoder=None) -> DataFrame:
+    """binary payload -> 60-bit perceptual dHash (``codecs.dhash60``).
+
+    One decode + hash per payload per Arrow batch; undecodable payloads
+    yield a NULL ``phash`` (filtered by the dedup join, never a fake
+    bucket — hashing garbage would invent near-dup pairs).  Feed the
+    output to ``dedup.hamming_near_duplicates`` for image near-dup
+    detection; the hash rows are ~16 bytes each, so the dedup stage
+    shuffles hashes, never pixels."""
+    from .codecs import dhash60
+
+    if decoder is None:
+        raise NotImplementedError(
+            "perceptual_hash needs a real pixel decoder (see "
+            "datapipe.codecs.decode_auto) — a byte-statistics stub would "
+            "hash compression artifacts, not image content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                arr = decoder(bytes(p) if p is not None else b"")
+                hashes.append(dhash60(arr) if arr is not None else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(fn, PHASH_SCHEMA)
+
+
 def thumbnail(df: DataFrame, max_side: int = 32,
               decode_stub: bool = True, decoder=None) -> DataFrame:
     """Downscale thumbnails.  With a real ``decoder``, pixels are decoded,
