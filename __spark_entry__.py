@@ -1290,6 +1290,227 @@ def _media_video_oracle() -> str:
         FROM ch"""
 
 
+# audio/video fingerprint fixtures: planted near-dup groups in the phash
+# style (media doc_id // 4 shares a base pattern; variant p = doc_id % 4
+# perturbs one pinned chunk/frame region), group-dependent SLOPES so
+# cross-group fingerprints land far apart (measured: audio within-group
+# hamming <= 2, cross >= 8; video within <= 3, cross >= 16).
+_AFP_N, _AFP_CHUNK = 64, 8                       # 61 chunks x 8 samples
+_VFP_N, _VFP_W, _VFP_H, _VFP_FRAMES, _VFP_FPS = 32, 16, 12, 5, 10
+
+
+def _afp_media(spark, sf):
+    """Synthetic audio corpus: per-chunk-constant amplitudes (so chunk
+    energies are pure integer functions of (group, chunk)), variant p > 0
+    bumps chunk 10*p only — flipping at most the two adjacent delta bits."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import encode_wav
+
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _AFP_N).select("doc_id")
+
+    def gen(batches):
+        c = np.arange(61)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, p = did // 4, did % 4
+                amp = ((g * 37 + c * (17 + 13 * (g % 5))) % 199) + 1
+                if p > 0:
+                    amp = amp.copy()
+                    amp[10 * p] += 56
+                s = np.repeat(amp, _AFP_CHUNK) / 256.0   # < 1, no clipping
+                payloads.append(encode_wav(8000, s))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "audio",
+                "payload": payloads, "width": 0, "height": 0,
+                "duration_ms": 61 * _AFP_CHUNK * 1000 // 8000})
+
+    return d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def q_media_audio_fp(spark, sf):
+    """Audio fingerprinting end-to-end: waveform -> REAL WAV encode ->
+    codecs.decode_wav -> 60-bit energy-delta fingerprint (codecs.afp60),
+    integer-exact by spec so the DuckDB twin replays it bit-for-bit."""
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_wav
+
+    return multimodal.audio_fingerprint(_afp_media(spark, sf),
+                                        decoder=decode_wav)
+
+
+def q_media_audio_near_dup(spark, sf):
+    """Audio near-dup detection: energy-delta fingerprints -> the same
+    banded hamming LSH as images/text (exhaustive for max_hamming <
+    n_bands, so the brute-force DuckDB oracle is exact)."""
+    from remilia_spark.datapipe.dedup import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        q_media_audio_fp(spark, sf), "media_id", "afp",
+        bits=60, n_bands=6, max_hamming=5
+    ).select(F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"),
+             F.col("hamming").cast("long").alias("hamming"))
+
+
+def _afp_sql() -> str:
+    """WITH-clause prefix ending in fp(media_id, afp): replays the audio
+    fixture's chunk energies in pure integer SQL.  Chunk energy is
+    8 * t^2 with t = (amp * 32767) // 256 (the encode trunc + decode
+    reconstruct round-trip); the constant 8 cancels in comparisons."""
+    return f"""
+        d AS (SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS p
+              FROM documents WHERE doc_id < {_AFP_N}),
+        ch AS (
+          SELECT media_id, c.c AS c,
+                 ((g * 37 + c.c * (17 + 13 * (g % 5))) % 199) + 1
+                 + CASE WHEN p > 0 AND c.c = 10 * p THEN 56 ELSE 0 END AS amp
+          FROM d CROSS JOIN (SELECT unnest(range(0, 61)) AS c) c),
+        e AS (
+          SELECT media_id, c,
+                 ((amp * 32767) // 256) * ((amp * 32767) // 256) AS e
+          FROM ch),
+        fp AS (
+          SELECT a.media_id,
+                 CAST(SUM(CASE WHEN b.e > a.e
+                          THEN CAST(POW(2.0, a.c) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS afp
+          FROM e a JOIN e b ON a.media_id = b.media_id AND b.c = a.c + 1
+          WHERE a.c < 60
+          GROUP BY a.media_id)"""
+
+
+def _media_audio_fp_oracle() -> str:
+    return f"WITH {_afp_sql()} SELECT media_id, afp FROM fp"
+
+
+def _media_audio_near_dup_oracle() -> str:
+    return f"""
+        WITH {_afp_sql()}
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= 5"""
+
+
+def _vfp_media(spark, sf):
+    """Synthetic video corpus: 5 frames per media; group-dependent pixel
+    slopes; variant p > 0 brightens the top-left p grid cells of the
+    MIDDLE frame only (the frame video_fingerprint hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import encode_avi
+
+    W, H = _VFP_W, _VFP_H
+    mid = _VFP_FRAMES // 2
+    dur = _VFP_FRAMES * 1000 // _VFP_FPS
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _VFP_N).select("doc_id")
+
+    def gen(batches):
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, p = did // 4, did % 4
+                frames = []
+                for f in range(_VFP_FRAMES):
+                    bump = ((x == 0) & (y < 2 * p)) * 64 if f == mid else 0
+                    frames.append(np.stack([
+                        (g * 7 + f * 19 + x * (3 + 31 * (g % 5))
+                         + y * 5 + bump) % 256,
+                        (g * 11 + f * 23 + x * 13
+                         + y * (2 + 29 * (g % 7))) % 256,
+                        (g * 3 + f * 29 + x * (1 + 37 * (g % 3))
+                         + y * 17) % 256,
+                    ], axis=-1).astype(np.uint8))
+                payloads.append(encode_avi(frames, fps=_VFP_FPS))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "kind": "video",
+                "payload": payloads, "width": W, "height": H,
+                "duration_ms": dur})
+
+    return d.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def q_media_video_fp(spark, sf):
+    """Video fingerprinting end-to-end: frames -> REAL uncompressed AVI
+    encode -> codecs.decode_avi -> dHash of the middle frame."""
+    from remilia_spark.datapipe import multimodal
+    from remilia_spark.datapipe.codecs import decode_avi
+
+    return multimodal.video_fingerprint(_vfp_media(spark, sf),
+                                        decoder=decode_avi)
+
+
+def q_media_video_near_dup(spark, sf):
+    """Video near-dup detection over middle-frame dHashes via the shared
+    banded hamming LSH — dedup now spans all four modalities (text
+    SimHash, image dHash, audio energy-delta, video frame-dHash)."""
+    from remilia_spark.datapipe.dedup import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        q_media_video_fp(spark, sf), "media_id", "vfp",
+        bits=60, n_bands=6, max_hamming=5
+    ).select(F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"),
+             F.col("hamming").cast("long").alias("hamming"))
+
+
+def _vfp_sql() -> str:
+    """WITH-clause prefix ending in fp(media_id, vfp): replays the middle
+    frame's dHash-grid luminance (grid sample sx = (gx*W)//11, sy = 2*gy;
+    integer lum = 299R + 587G + 114B) exactly as codecs.dhash60 pins it."""
+    w, n = _VFP_W, _VFP_N
+    mid = _VFP_FRAMES // 2
+    sx, sy = f"((gx.gx * {w}) // 11)", "(gy.gy * 2)"
+    return f"""
+        d AS (SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS p
+              FROM documents WHERE doc_id < {n}),
+        lum AS (
+          SELECT media_id, gy.gy AS gy, gx.gx AS gx,
+                 299 * ((g * 7 + {mid} * 19 + {sx} * (3 + 31 * (g % 5))
+                         + {sy} * 5
+                         + CASE WHEN {sx} = 0 AND {sy} < 2 * p
+                                THEN 64 ELSE 0 END) % 256)
+                 + 587 * ((g * 11 + {mid} * 23 + {sx} * 13
+                           + {sy} * (2 + 29 * (g % 7))) % 256)
+                 + 114 * ((g * 3 + {mid} * 29 + {sx} * (1 + 37 * (g % 3))
+                           + {sy} * 17) % 256) AS lum
+          FROM d
+          CROSS JOIN (SELECT unnest(range(0, 11)) AS gx) gx
+          CROSS JOIN (SELECT unnest(range(0, 6)) AS gy) gy),
+        fp AS (
+          SELECT a.media_id,
+                 CAST(SUM(CASE WHEN a.lum > b.lum
+                          THEN CAST(POW(2.0, a.gy * 10 + a.gx) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS vfp
+          FROM lum a JOIN lum b ON a.media_id = b.media_id
+                                AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 10
+          GROUP BY a.media_id)"""
+
+
+def _media_video_fp_oracle() -> str:
+    return f"WITH {_vfp_sql()} SELECT media_id, vfp FROM fp"
+
+
+def _media_video_near_dup_oracle() -> str:
+    return f"""
+        WITH {_vfp_sql()}
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.vfp, b.vfp)) <= 5"""
+
+
 _RC_K, _RC_HOSTS, _RC_EPOCH = 6, 40, 1_704_067_200
 _RC_BASE, _RC_MIN, _RC_MAX = 8 * 86400, 43200, 16 * 86400
 
@@ -2073,6 +2294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video": q_media_video,
         "media_phash": q_media_phash,
         "media_phash_near_dup": q_media_phash_near_dup,
+        "media_audio_fp": q_media_audio_fp,
+        "media_audio_near_dup": q_media_audio_near_dup,
+        "media_video_fp": q_media_video_fp,
+        "media_video_near_dup": q_media_video_near_dup,
         "link_pagerank": q_link_pagerank,
         "crawl_flagship": q_crawl_flagship,
     }
@@ -2371,6 +2596,10 @@ def oracle_sql() -> dict[str, str]:
         "media_video": _media_video_oracle(),
         "media_phash": _media_phash_oracle(),
         "media_phash_near_dup": _media_phash_near_dup_oracle(),
+        "media_audio_fp": _media_audio_fp_oracle(),
+        "media_audio_near_dup": _media_audio_near_dup_oracle(),
+        "media_video_fp": _media_video_fp_oracle(),
+        "media_video_near_dup": _media_video_near_dup_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),

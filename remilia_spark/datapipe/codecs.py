@@ -250,6 +250,34 @@ def audio_feature(rate: int, samples: np.ndarray, dim: int) -> np.ndarray:
         dtype=np.float32)
 
 
+def afp60(samples: np.ndarray) -> int | None:
+    """60-bit audio fingerprint from decoded 16-bit PCM samples — the
+    audio analogue of ``dhash60`` (energy-delta hash, a chromaprint-style
+    reduction with the FFT stage dropped so the spec stays integer-exact).
+
+    Pinned spec (a SQL twin can replay it bit-for-bit):
+
+    * samples are assumed to come from 16-bit PCM as ``t / 32768`` with
+      integer ``t``; the fingerprint reconstructs ``t = round(s * 32768)``
+      and works in int64 throughout — no float summation anywhere;
+    * the first ``61 * (n // 61)`` samples split into 61 equal chunks,
+      chunk energy ``e[c] = sum(t^2)`` over the chunk;
+    * bit ``c`` (0..59) is set when ``e[c+1] > e[c]``.
+
+    60 bits for the same signed-BIGINT reason as ``dhash60``.  Returns
+    None when fewer than 61 samples exist (no chunk structure to hash).
+    """
+    s = np.asarray(samples, dtype=np.float64)
+    n = len(s)
+    if n < 61:
+        return None
+    chunk_len = n // 61
+    t = np.round(s[: 61 * chunk_len] * 32768.0).astype(np.int64)
+    e = (t * t).reshape(61, chunk_len).sum(axis=1)
+    bits = e[1:] > e[:-1]                   # (60,) comparisons
+    return int((bits * (np.int64(1) << np.arange(60))).sum())
+
+
 # ---------------------------------------------------------------------------
 # video: uncompressed AVI (RIFF + BI_RGB '00db' frames) — the real decoder
 # for the video modality

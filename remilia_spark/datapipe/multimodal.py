@@ -280,3 +280,78 @@ def extract_audio_features(df: DataFrame, dim: int = 8,
     return (df.where(F.col("kind") == "audio")
             .select("media_id", "kind", "payload")
             .mapInPandas(fn, AUDIO_FEATURES_SCHEMA))
+
+
+AFP_SCHEMA = "media_id long, afp long"
+
+VFP_SCHEMA = "media_id long, vfp long"
+
+
+def audio_fingerprint(df: DataFrame, decoder=None) -> DataFrame:
+    """audio binary payload -> 60-bit energy-delta fingerprint
+    (``codecs.afp60``) — the audio twin of ``perceptual_hash``.
+
+    One decode + hash per payload per Arrow batch; undecodable or
+    too-short payloads yield NULL (filtered by the dedup join, never a
+    fake bucket).  Feed the output to ``dedup.hamming_near_duplicates``
+    for audio near-dup detection: only ~16-byte (id, hash) rows leave
+    this stage, so the dedup shuffle moves hashes, never waveforms."""
+    from .codecs import afp60, decode_wav
+
+    dec = decoder
+    if dec is None:
+        raise NotImplementedError(
+            "audio_fingerprint needs a real sample decoder (see "
+            "datapipe.codecs.decode_wav) — a byte-statistics stub would "
+            "hash container framing, not audio content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                out = dec(bytes(p) if p is not None else b"")
+                hashes.append(afp60(out[1]) if out is not None else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "afp": pd.array(hashes, dtype="Int64"),
+            })
+
+    return (df.where(F.col("kind") == "audio")
+            .select("media_id", "payload").mapInPandas(fn, AFP_SCHEMA))
+
+
+def video_fingerprint(df: DataFrame, decoder=None) -> DataFrame:
+    """video binary payload -> 60-bit perceptual hash of the MIDDLE frame
+    (``codecs.dhash60`` over frame ``n_frames // 2``) — the video twin of
+    ``perceptual_hash``.
+
+    The middle frame (not the first) survives leading title cards /
+    fade-ins; a production variant hashes k sampled frames and
+    near-dups on any-band agreement, but one pinned frame keeps the
+    spec SQL-replayable.  Undecodable payloads yield NULL.  Same
+    hash-not-payload shuffle property as ``audio_fingerprint``."""
+    from .codecs import dhash60
+
+    if decoder is None:
+        raise NotImplementedError(
+            "video_fingerprint needs a real frame decoder (see "
+            "datapipe.codecs.decode_avi) — av/ffmpeg wrap to the same "
+            "(usec_per_frame, [frames]) signature at deployment")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                out = decoder(bytes(p) if p is not None else b"")
+                if out is None or not out[1]:
+                    hashes.append(None)
+                    continue
+                frames = out[1]
+                hashes.append(dhash60(frames[len(frames) // 2]))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "vfp": pd.array(hashes, dtype="Int64"),
+            })
+
+    return (df.where(F.col("kind") == "video")
+            .select("media_id", "payload").mapInPandas(fn, VFP_SCHEMA))
