@@ -2125,6 +2125,124 @@ def _trap_hosts_oracle() -> str:
         FROM a"""
 
 
+_SPRAY_MIN_HOSTS = 15
+
+
+def _domain_host_mix():
+    """Host mix exercising every registered-domain rule branch: plain
+    2-label hosts, multi-label-suffix hosts (co.uk / com.au), optional
+    ``sub.`` prefixes, and IPv4 literals."""
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+    base = F.col("doc_id") % 4
+    naked = (F.when(base == 0, F.concat(site, F.lit(".test")))
+              .when(base == 1, F.concat(site, F.lit(".co.uk")))
+              .otherwise(F.concat(site, F.lit(".com.au"))))
+    with_sub = F.when(F.col("doc_id") % 2 == 0,
+                      F.concat(F.lit("sub."), naked)).otherwise(naked)
+    return F.when(base == 3,
+                  F.concat(F.lit("192.168."),
+                           (F.col("doc_id") % 3).cast("string"),
+                           F.lit(".1"))).otherwise(with_sub)
+
+
+def q_url_domain_keys(spark, sf):
+    """Registered-domain (eTLD+1) keys (urlnorm.registered_domain_col):
+    pure JVM column math; the politeness/trap key that collapses
+    subdomain sprays.  Pinned multi-label-suffix subset as the spec."""
+    from remilia_spark.urlnorm import registered_domain_col
+
+    d = _read(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id"), _domain_host_mix().alias("host")
+    ).select("doc_id", "host",
+             registered_domain_col(F.col("host")).alias("domain"))
+
+
+def _regdom_sql(src: str) -> str:
+    """CTE suffix computing ``domain`` from ``host`` over table ``src`` —
+    the GENERIC registered-domain rule (not the fixture), so the oracle
+    checks the spec itself."""
+    from remilia_spark.urlnorm import MULTI_LABEL_SUFFIXES
+
+    suf = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+        _rd_p AS (SELECT *, string_split(host, '.') AS _ls,
+                         len(string_split(host, '.')) AS _n
+                  FROM {src}),
+        _rd AS (
+          SELECT *,
+                 CASE WHEN host = '' THEN ''
+                      WHEN regexp_full_match(host, '[0-9.]+')
+                        OR regexp_full_match(host, '\\[[0-9a-fA-F:]+\\]')
+                        OR _n < 2 THEN host
+                      WHEN array_to_string(_ls[_n-1:_n], '.') IN ({suf})
+                           AND _n >= 3
+                        THEN array_to_string(_ls[_n-2:_n], '.')
+                      ELSE array_to_string(_ls[_n-1:_n], '.')
+                 END AS domain
+          FROM _rd_p)"""
+
+
+def _domain_keys_oracle() -> str:
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3
+                      THEN '192.168.' || CAST(doc_id % 3 AS VARCHAR) || '.1'
+                      ELSE CASE WHEN doc_id % 2 = 0 THEN 'sub.' ELSE '' END
+                           || 'site' || CAST(doc_id % 7 AS VARCHAR)
+                           || CASE WHEN doc_id % 4 = 0 THEN '.test'
+                                   WHEN doc_id % 4 = 1 THEN '.co.uk'
+                                   ELSE '.com.au' END
+                 END AS host
+          FROM documents),
+        {_regdom_sql('u')}
+        SELECT doc_id, host, domain FROM _rd"""
+
+
+def q_domain_subdomain_spray(spark, sf):
+    """Subdomain-spray trap signals (traps.subdomain_spray): domains
+    minting hosts under a per-host budget's radar.  The mix gives domain
+    d (of 5) exactly 4 + 8*d distinct hosts, so min_hosts=15 flags
+    d in {{2,3,4}}; odd domains sit under co.uk to exercise eTLD+1."""
+    from remilia_spark.traps import subdomain_spray
+
+    d = _read(spark, sf, "documents")
+    dom_i = F.col("doc_id") % 5
+    host_i = F.floor(F.col("doc_id") / 5) % (4 + 8 * dom_i)
+    dom = F.concat(F.lit("dom"), dom_i.cast("string"),
+                   F.when(dom_i % 2 == 1, F.lit(".co.uk"))
+                    .otherwise(F.lit(".test")))
+    url = F.concat(F.lit("https://h"), host_i.cast("string"), F.lit("."),
+                   dom, F.lit("/p/"), F.col("doc_id").cast("string"))
+    return subdomain_spray(d.select(url.alias("url")),
+                           min_hosts=_SPRAY_MIN_HOSTS)
+
+
+def _subdomain_spray_oracle() -> str:
+    return f"""
+        WITH urls AS (
+          SELECT 'https://h'
+                 || CAST((doc_id // 5) % (4 + 8 * (doc_id % 5)) AS VARCHAR)
+                 || '.dom' || CAST(doc_id % 5 AS VARCHAR)
+                 || CASE WHEN (doc_id % 5) % 2 = 1
+                         THEN '.co.uk' ELSE '.test' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        u AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host
+          FROM urls),
+        {_regdom_sql('u')}
+        SELECT domain,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               (COUNT(DISTINCT host) >= {_SPRAY_MIN_HOSTS}
+                AND COUNT(*) >= 0.0 * COUNT(DISTINCT host)) AS is_spray
+        FROM _rd GROUP BY domain"""
+
+
 _BOILER_MIN_DF = 2
 
 
@@ -2294,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video": q_media_video,
         "media_phash": q_media_phash,
         "media_phash_near_dup": q_media_phash_near_dup,
+        "url_domain_keys": q_url_domain_keys,
+        "domain_subdomain_spray": q_domain_subdomain_spray,
         "media_audio_fp": q_media_audio_fp,
         "media_audio_near_dup": q_media_audio_near_dup,
         "media_video_fp": q_media_video_fp,
@@ -2596,6 +2716,8 @@ def oracle_sql() -> dict[str, str]:
         "media_video": _media_video_oracle(),
         "media_phash": _media_phash_oracle(),
         "media_phash_near_dup": _media_phash_near_dup_oracle(),
+        "url_domain_keys": _domain_keys_oracle(),
+        "domain_subdomain_spray": _subdomain_spray_oracle(),
         "media_audio_fp": _media_audio_fp_oracle(),
         "media_audio_near_dup": _media_audio_near_dup_oracle(),
         "media_video_fp": _media_video_fp_oracle(),

@@ -4,7 +4,7 @@ A crawl trap (calendar pages, faceted search, session-id rewrites —
 the classic failure mode of the reference's unbounded ``chew`` requeue,
 pipeline.go:220-222, which has no per-host limit at all) shows up at
 frontier scale as ONE host contributing an unbounded stream of novel URLs
-whose paths collapse to a handful of templates.  Two independent,
+whose paths collapse to a handful of templates.  Three independent,
 optional defenses:
 
 * :func:`trap_signals` — per-host analytics over any URL set (the live
@@ -17,6 +17,11 @@ optional defenses:
   swap in HLL ``approx_count_distinct`` and make the whole plan partial-
   aggregatable; the exact form stays the default because it is the one
   the DuckDB oracle can replay).
+
+* :func:`subdomain_spray` — per-REGISTERED-DOMAIN analytics (eTLD+1 via
+  `urlnorm.registered_domain_col`): flags domains minting hosts faster
+  than pages (wildcard-DNS link farms), the spray mode that slips under
+  every per-host budget.
 
 * :func:`cap_new_per_host` — the engine's insertion-time guard
   (``CrawlConfig.trap_max_pending``): a host may hold at most ``cap``
@@ -116,6 +121,52 @@ def trap_signals(
         "sum_depth", "n_query",
         ((F.col("n_urls") >= min_urls)
          & (ratio <= max_template_ratio)).alias("is_trap"),
+    )
+
+
+def subdomain_spray(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    min_hosts: int = 20,
+    min_urls_per_host: float = 0.0,
+) -> DataFrame:
+    """Per-registered-domain subdomain-spray signals — the trap mode
+    :func:`trap_signals` and every per-HOST cap are blind to: one domain
+    minting ``a1.example.com, a2.example.com, ...`` so each host stays
+    under budget while the domain floods the frontier (wildcard-DNS link
+    farms).  Scoping by eTLD+1 (`urlnorm.registered_domain_col`) collapses
+    the spray back onto one key.
+
+    Returns one row per registered domain: ``(domain, n_hosts, n_urls,
+    is_spray)`` with ``is_spray = n_hosts >= min_hosts AND n_urls >=
+    min_urls_per_host * n_hosts`` (the second term, default off, screens
+    out legitimately-wide domains whose hosts each carry real mass).
+
+    Feed flagged domains back as a blocklist, or switch the politeness /
+    ``cap_new_per_host`` key to the domain column for those rows.  Pure
+    JVM column math + one groupBy; only (domain, host) pairs shuffle —
+    at 10^10 URLs the exact distinct-host count stays cheap because host
+    cardinality per domain is bounded by DNS reality, but the aggregate
+    is swappable for ``approx_count_distinct`` exactly as in
+    :func:`trap_signals`.
+    """
+    from .urlnorm import registered_domain_col
+
+    u = F.col(url_col)
+    host = F.col(host_col) if host_col else F.regexp_extract(u, _HOST_RE, 1)
+    rows = urls.select(host.alias("_host"),
+                       registered_domain_col(host).alias("domain"))
+    agg = rows.groupBy("domain").agg(
+        F.countDistinct("_host").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+    )
+    return agg.select(
+        "domain", "n_hosts", "n_urls",
+        ((F.col("n_hosts") >= min_hosts)
+         & (F.col("n_urls")
+            >= F.lit(min_urls_per_host) * F.col("n_hosts")))
+        .alias("is_spray"),
     )
 
 

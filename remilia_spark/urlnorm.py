@@ -126,6 +126,77 @@ def path_of(url: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Registered domain (eTLD+1) keys — domain-level politeness / trap scope
+# ---------------------------------------------------------------------------
+# Production crawlers scope politeness and trap defenses at the REGISTERED
+# domain, not the host: a spider trap (or a single tenant) that sprays
+# `a1.example.com, a2.example.com, ...` defeats any per-host cap, while a
+# per-domain key collapses the spray back to one budget line.  The real
+# decision data is the Mozilla Public Suffix List; this module pins a
+# deterministic SUBSET of its most common multi-label suffixes as the spec
+# (so Spark, Python and the DuckDB oracle agree bit-for-bit), and a
+# deployment swaps in the full PSL by replacing MULTI_LABEL_SUFFIXES (it
+# stays a broadcast-sized literal: the full list is ~10k entries).
+#
+# Rule (pinned): empty host -> ""; IPv4 / bracketed IPv6 / single-label
+# hosts are their own "domain"; else if the last TWO labels form a listed
+# multi-label suffix and a third label exists, the registered domain is
+# the last THREE labels, otherwise the last TWO.
+
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.za", "co.kr", "or.kr",
+)
+
+_IPV4ISH_RE = r"^[0-9.]+$"
+_IPV6_BRACKET_RE = r"^\[[0-9a-fA-F:]+\]$"
+
+
+def registered_domain(host: str | None) -> str:
+    """Pure-Python twin of ``registered_domain_col`` (unit-testable,
+    oracle-exact)."""
+    if not host:
+        return ""
+    if re.fullmatch(_IPV4ISH_RE, host) or re.fullmatch(_IPV6_BRACKET_RE,
+                                                       host):
+        return host
+    labels = host.split(".")
+    if len(labels) < 2:
+        return host
+    last2 = ".".join(labels[-2:])
+    if last2 in MULTI_LABEL_SUFFIXES and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return last2
+
+
+def registered_domain_col(host):
+    """Registered domain (eTLD+1) as a pure JVM column expression — the
+    frontier computes it at 10^10-row scale with zero Python and zero
+    shuffle.  Substitute this for ``host`` in `traps.trap_signals` /
+    `traps.subdomain_spray` (``host_col=``) or as the politeness key to
+    scope budgets per domain.  Same pinned spec as
+    :func:`registered_domain`."""
+    from pyspark.sql import functions as F
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    literal = (host.rlike(_IPV4ISH_RE) | host.rlike(_IPV6_BRACKET_RE)
+               | (n < 2))
+    return (F.when(host.isNull() | (host == ""), F.lit(""))
+             .when(literal, host)
+             .when(last2.isin(*MULTI_LABEL_SUFFIXES) & (n >= 3), last3)
+             .otherwise(last2))
+
+
+# ---------------------------------------------------------------------------
 # SURT keys — sort-friendly URI reordering transform
 # ---------------------------------------------------------------------------
 # The web-archive community's storage key (Heritrix/OpenWayback, and the
