@@ -78,3 +78,44 @@ def test_subdomain_spray_groups_by_etld1(spark):
     got = {r["domain"]: (r["n_hosts"], r["n_urls"])
            for r in subdomain_spray(df, min_hosts=2).collect()}
     assert got == {"x.co.uk": (2, 2), "y.co.uk": (1, 1)}
+
+
+# -- property: the column expression and the Python twin agree on ANY host
+# built from DNS-ish labels (including bare suffixes, deep subdomain
+# chains, numeric labels that are not valid IPs, and hyphens).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.text(alphabet="abc0-9", min_size=1, max_size=6).filter(
+    lambda s: not s.startswith("-") and not s.endswith("-"))
+_hosts = st.lists(
+    st.one_of(_label, st.sampled_from(["co", "uk", "com", "au", "gov",
+                                       "cn", "192", "0"])),
+    min_size=1, max_size=5).map(".".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(hosts=st.lists(_hosts, min_size=1, max_size=40))
+def test_registered_domain_property_python_self_consistent(hosts):
+    for h in hosts:
+        rd = registered_domain(h)
+        # idempotent: a registered domain is its own registered domain
+        assert registered_domain(rd) == rd, h
+        # suffix of the host (or the host itself for literal branches)
+        assert h.endswith(rd), h
+
+
+def test_registered_domain_spark_parity_generated(spark):
+    """One Spark job over a deterministic sample of generated hosts —
+    the column twin agrees with the Python twin input-for-input."""
+    import itertools
+    labels = ["a", "b9", "x-y", "co", "uk", "com", "au", "192", "0"]
+    hosts = [".".join(c) for r in (1, 2, 3)
+             for c in itertools.islice(itertools.product(labels, repeat=r),
+                                       200)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["rd"] for r in df.select(
+        "host", registered_domain_col(F.col("host")).alias("rd")).collect()}
+    for h in hosts:
+        assert got[h] == registered_domain(h), h
