@@ -1797,6 +1797,85 @@ def _surt_oracle() -> str:
         FROM hp"""
 
 
+def q_url_clean_params(spark, sf):
+    """Query-param canonicalization (urlnorm.clean_params_col): tracking
+    params stripped and, for the dedup key, surviving params bytewise
+    sorted — pure JVM split/filter/sort column math over a synthesized
+    URL mix (tracking baggage, name-only flags, unordered params,
+    mixed-case names, empty queries).  See SCALE.md: at 10^10 discovered
+    URLs this runs inside the canonicalize projection with zero Python."""
+    from remilia_spark.urlnorm import clean_params_col
+
+    d = _read(spark, sf, "documents")
+    did = F.col("doc_id")
+    qs = F.concat_ws(
+        "&",
+        F.when(did % 2 == 0, F.concat(F.lit("b="), (did % 5).cast("string"))),
+        F.when(did % 3 == 0, F.lit("UTM_Campaign=c")),
+        F.when(did % 4 == 0, F.concat(F.lit("a="), (did % 7).cast("string"))),
+        F.when(did % 5 == 0, F.concat(F.lit("fbclid=x"), did.cast("string"))),
+        F.when(did % 7 == 0, F.lit("Flag")),
+        F.when(did % 11 == 0, F.lit("utm_source=s&z=9")),
+    )
+    url = F.concat(
+        F.lit("http://h"), (did % 10).cast("string"), F.lit(".test/p/"),
+        did.cast("string"),
+        F.when(did % 13 == 0, F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    d = d.select(url.alias("url"))
+    return d.select(
+        "url",
+        clean_params_col(F.col("url")).alias("url_clean"),
+        clean_params_col(F.col("url"), sort_params=True).alias("url_key"))
+
+
+def _clean_params_oracle() -> str:
+    """Replays the pinned clean_params spec with DuckDB list functions
+    (split_part/list_filter/list_sort are the exact counterparts of the
+    Spark built-ins; binary collation on both sides)."""
+    from remilia_spark.urlnorm import TRACKING_PARAMS
+    strip = ", ".join(f"'{s}'" for s in TRACKING_PARAMS)
+    return f"""
+        WITH u AS (
+          SELECT 'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/p/'
+                 || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 13 = 0 THEN '' ELSE '?' ||
+                    concat_ws('&',
+                      CASE WHEN doc_id % 2 = 0
+                           THEN 'b=' || CAST(doc_id % 5 AS VARCHAR) END,
+                      CASE WHEN doc_id % 3 = 0 THEN 'UTM_Campaign=c' END,
+                      CASE WHEN doc_id % 4 = 0
+                           THEN 'a=' || CAST(doc_id % 7 AS VARCHAR) END,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN 'fbclid=x' || CAST(doc_id AS VARCHAR) END,
+                      CASE WHEN doc_id % 7 = 0 THEN 'Flag' END,
+                      CASE WHEN doc_id % 11 = 0 THEN 'utm_source=s&z=9' END)
+                    END AS url
+          FROM documents),
+        parts AS (
+          SELECT url,
+                 split_part(url, '?', 1) AS base,
+                 strpos(url, '?') AS qpos,
+                 list_filter(
+                   string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                   p -> p <> ''
+                        AND substr(lower(split_part(p, '=', 1)), 1, 4)
+                            <> 'utm_'
+                        AND NOT list_contains([{strip}],
+                                              lower(split_part(p, '=', 1))))
+                   AS keep
+          FROM u)
+        SELECT url,
+               CASE WHEN qpos = 0 THEN url
+                    WHEN len(keep) > 0
+                    THEN base || '?' || array_to_string(keep, '&')
+                    ELSE base END AS url_clean,
+               CASE WHEN qpos = 0 THEN url
+                    WHEN len(keep) > 0
+                    THEN base || '?' || array_to_string(list_sort(keep), '&')
+                    ELSE base END AS url_key
+        FROM parts"""
+
+
 _ANCH_K = 3
 
 
@@ -2396,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_revisit_compact": q_doc_revisit_compact,
         "link_anchor_topk": q_link_anchor_topk,
         "url_surt_keys": q_url_surt_keys,
+        "url_clean_params": q_url_clean_params,
         "url_trap_hosts": q_url_trap_hosts,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_pii": q_doc_pii,
@@ -2736,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_revisit_compact": _REVISIT_ORACLE,
         "link_anchor_topk": _anchor_topk_oracle(),
         "url_surt_keys": _surt_oracle(),
+        "url_clean_params": _clean_params_oracle(),
         "url_trap_hosts": _trap_hosts_oracle(),
         "doc_boilerplate": _boilerplate_oracle(),
         "doc_pii": _pii_oracle(),

@@ -59,6 +59,11 @@ def parse_args(argv):
                         "AllowedDomain); off-list discoveries insert as "
                         "terminal 'filtered' rows and never consume the "
                         "trap guard's per-host capacity")
+    p.add_argument("--strip-tracking-params", action="store_true",
+                   help="second canonicalization pass: drop cross-site "
+                        "tracking params (utm_*, fbclid, gclid, ...) from "
+                        "every discovered URL so analytics variants "
+                        "collapse to one seen-set entry and one fetch")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seen-filter", default="bloom",
                    choices=("bloom", "cuckoo"),
@@ -136,6 +141,7 @@ def main(argv=None) -> int:
                                args.allowed_domains.split(",") if h.strip())
                          if args.allowed_domains else ()),
         seen_filter=args.seen_filter,
+        strip_tracking_params=args.strip_tracking_params,
     )
     if args.expire_seen_before is not None or args.merge_seeds:
         if not args.resume:

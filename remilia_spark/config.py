@@ -28,6 +28,14 @@ class CrawlConfig:
     # AllowedDomain, limit.go:5-15): when non-empty, discovered URLs whose
     # host is not in the set enter the frontier as state='filtered'
     allowed_domains: tuple[str, ...] = ()
+    # opt-in second canonicalization pass (urlnorm.clean_params): strip
+    # cross-site tracking params (utm_*, fbclid, gclid, ...) from every
+    # canonical URL so analytics variants collapse to one seen-set entry
+    # and one fetch.  Order-preserving (no param sort) so the URL the
+    # politeness layer fetches stays what the site linked.  Off by default:
+    # it changes the URL space, so the flagship ordering goldens pin the
+    # un-stripped engine.
+    strip_tracking_params: bool = False
 
     # politeness (per-host token bucket; ratelimit.go:27-33 defaults)
     bucket_capacity: int = 100

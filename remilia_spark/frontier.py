@@ -107,6 +107,20 @@ def _canonicalize(href: pd.Series, base: pd.Series) -> pd.DataFrame:
     return urlnorm.normalize_parts_frame(href, base)
 
 
+def _clean_np(df, cfg: CrawlConfig):
+    """Opt-in tracking-param strip on the canonical URL (pure JVM column
+    math, zero Python; ``urlnorm.clean_params_col`` pinned spec).  Host and
+    path are query-independent, so only the struct's ``url`` changes; the
+    downstream xxhash64 / groupBy(np) then collapse the analytics variants
+    to one frontier row."""
+    if not cfg.strip_tracking_params:
+        return df
+    return df.withColumn("np", F.struct(
+        urlnorm.clean_params_col(F.col("np.url")).alias("url"),
+        F.col("np.host").alias("host"),
+        F.col("np.path").alias("path")))
+
+
 def _insert_state(cfg: CrawlConfig):
     """State a fresh row enters the frontier with: 'filtered' when robots
     blocks it or (if an allowlist is configured — the reference's
@@ -129,6 +143,7 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame,
     c = (
         seeds
         .withColumn("np", _canonicalize("url", F.lit(None).cast("string")))
+        .transform(lambda df: _clean_np(df, cfg))
         .where(F.col("np.url").isNotNull())
         .groupBy("np").agg(F.min("seed_order").alias("seed_order"))
         .select(
@@ -356,6 +371,7 @@ def run_superstep(
     cand = (
         link_rows
         .withColumn("np", _canonicalize("href", "parent_url"))
+        .transform(lambda df: _clean_np(df, cfg))
         .where(F.col("np.url").isNotNull())
         # in-batch dedup: first discovery wins — min (parent_order,
         # link_index) is total because parent orders are globally unique

@@ -31,7 +31,7 @@ import pandas as pd
 from .backoff import backoff_steps
 from .config import CrawlConfig
 from .extract import extract
-from .urlnorm import host_of, normalize_url, path_of
+from .urlnorm import clean_params, host_of, normalize_url, path_of
 from .xxh64 import xxhash64_spark
 
 
@@ -58,6 +58,14 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         for _, r in robots.iterrows():
             rob[r["host"]] = (list(r["disallow"]), int(r["crawl_delay"]))
 
+    def canon(url: str, base: str | None = None) -> str | None:
+        """normalize_url + the opt-in tracking-param strip — mirrors the
+        engine's _canonicalize UDF followed by _clean_np (frontier.py)."""
+        cu = normalize_url(url, base)
+        if cu is not None and cfg.strip_tracking_params:
+            cu = clean_params(cu)
+        return cu
+
     def robots_blocked(url: str) -> bool:
         host = host_of(url)
         if cfg.allowed_domains and host not in cfg.allowed_domains:
@@ -72,15 +80,15 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
     res = OracleResult()
 
     # ---- seeds (seed_frontier mirror) --------------------------------------
-    canon: dict[str, int] = {}
+    canon_seeds: dict[str, int] = {}
     for _, r in seeds.sort_values("seed_order").iterrows():
-        cu = normalize_url(r["url"])
+        cu = canon(r["url"])
         if cu is None:
             continue
-        if cu not in canon:
-            canon[cu] = int(r["seed_order"])
+        if cu not in canon_seeds:
+            canon_seeds[cu] = int(r["seed_order"])
     order = 0
-    for cu, _so in sorted(canon.items(), key=lambda kv: kv[1]):
+    for cu, _so in sorted(canon_seeds.items(), key=lambda kv: kv[1]):
         state = "filtered" if robots_blocked(cu) else "pending"
         frontier[cu] = {
             "depth": 0, "order": order, "attempt": 0,
@@ -157,7 +165,7 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
                 n_fetched += 1
                 if depth < cfg.max_depth:
                     for li, href in enumerate(links):
-                        cu = normalize_url(href, u)
+                        cu = canon(href, u)
                         if cu is None:
                             continue
                         key = (row["order"], li, depth + 1,

@@ -271,6 +271,96 @@ def surt_key_col(url):
 
 
 # ---------------------------------------------------------------------------
+# Query-parameter canonicalization (tracking-param strip + param sort).
+#
+# The RFC 3986 pass above deliberately keeps the query byte-for-byte (spec
+# step 8) because two URLs differing only in parameter order CAN be
+# different resources.  In practice a crawl frontier drowns in links that
+# differ only in analytics baggage (utm_*, fbclid, gclid, ...) — every such
+# variant costs a fetch, a seen-set slot, and a politeness token for a page
+# the crawler already has.  ``clean_params`` is the pinned, opt-in second
+# pass: drop tracking parameters, optionally sort the survivors, so the
+# seen set collapses the variants.  The spec is deliberately expressible as
+# pure column math (split / filter / sort / join) so it runs JVM-side at
+# 10^10-row scale AND replays exactly in the DuckDB oracle.
+#
+# Pinned spec (frozen; dedup-key semantics depend on it):
+#   1. query = everything after the FIRST '?' (canonical URLs carry no
+#      fragment); no '?' -> unchanged;
+#   2. parts = query split on '&'; empty parts drop;
+#   3. a part's name = substring before the first '=' (whole part if no
+#      '='); drop the part when lower(name) is in the strip set or starts
+#      with 'utm_';
+#   4. optionally sort surviving parts bytewise (param-order
+#      canonicalization — stronger dedup, opt-in separately because it
+#      changes the URL the politeness layer fetches);
+#   5. no survivors -> the '?' goes too.
+# ---------------------------------------------------------------------------
+
+# Pinned strip set: the cross-site analytics/click-id parameters that never
+# change the resource.  Sorted; ASCII; extend via the ``strip=`` argument.
+TRACKING_PARAMS = (
+    "_ga", "_gl", "dclid", "fbclid", "gbraid", "gclid", "igshid",
+    "mc_cid", "mc_eid", "msclkid", "ref_src", "spm", "twclid",
+    "wbraid", "yclid",
+)
+
+
+def _is_tracking(name: str, strip: tuple[str, ...]) -> bool:
+    n = name.lower()
+    return n.startswith("utm_") or n in strip
+
+
+def clean_params(url: str | None, strip: tuple[str, ...] = TRACKING_PARAMS,
+                 sort_params: bool = False) -> str | None:
+    """Pure-Python twin of ``clean_params_col`` (same pinned spec)."""
+    if url is None:
+        return None
+    q = url.find("?")
+    if q < 0:
+        return url
+    base, query = url[:q], url[q + 1:]
+    parts = [p for p in query.split("&")
+             if p != "" and not _is_tracking(p.split("=", 1)[0], strip)]
+    if sort_params:
+        parts.sort()
+    return base + "?" + "&".join(parts) if parts else base
+
+
+def clean_params_col(url, strip: tuple[str, ...] = TRACKING_PARAMS,
+                     sort_params: bool = False):
+    """``clean_params`` as a pure JVM column expression (whole-stage
+    codegen — the frontier applies it to every discovered URL with zero
+    Python).  Split/filter/sort/join built-ins only, so the DuckDB oracle
+    replays the identical spec with list_filter/list_sort."""
+    from pyspark.sql import functions as F
+
+    base = F.substring_index(url, "?", 1)
+    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    name = lambda p: F.lower(F.substring_index(p, "=", 1))  # noqa: E731
+    strip_arr = F.array(*[F.lit(s) for s in strip])
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") &
+                  (F.substring(name(p), 1, 4) != "utm_") &
+                  ~F.array_contains(strip_arr, name(p)))
+    if sort_params:
+        keep = F.array_sort(keep)
+    cleaned = F.when(F.size(keep) > 0,
+                     F.concat(base, F.lit("?"), F.array_join(keep, "&"))) \
+               .otherwise(base)
+    return F.when(url.isNull(), F.lit(None).cast("string")) \
+            .when(~url.contains("?"), url).otherwise(cleaned)
+
+
+def clean_params_series(urls: pd.Series, strip: tuple[str, ...] =
+                        TRACKING_PARAMS, sort_params: bool = False) \
+        -> pd.Series:
+    """Vectorized twin for use inside the canonicalization pandas UDF."""
+    return urls.map(lambda u: clean_params(u, strip, sort_params))
+
+
+# ---------------------------------------------------------------------------
 # pandas (Arrow-batch) wrappers — the bodies of the canonicalization UDFs.
 # ---------------------------------------------------------------------------
 
