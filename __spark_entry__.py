@@ -614,6 +614,73 @@ def _pagerank_oracle() -> str:
         SELECT node, r AS rank_fp FROM r{_PR_ITERS}"""
 
 
+def q_link_hits(spark, sf):
+    """HITS hubs/authorities (graph.hits) over the same synthesized doc
+    graph as link_pagerank — integer fixed point with quantized L1
+    normalization, so Spark and the unrolled DuckDB recurrence agree
+    bit-for-bit."""
+    from remilia_spark.datapipe import graph
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _PR_N_DOCS).select("doc_id")
+    did = F.col("doc_id")
+    e = d.select(
+        did.alias("src"),
+        F.explode(F.array(did + 1, did * 2 + 1, did + 9, did + 2))
+        .alias("dst"),
+    ).where(F.col("dst") < _PR_N_DOCS)
+    r = graph.hits(e, iterations=_PR_ITERS)
+    return r.select(F.col("node").cast("long").alias("node"),
+                    F.col("hub_fp").cast("long").alias("hub_fp"),
+                    F.col("auth_fp").cast("long").alias("auth_fp"))
+
+
+def _hits_oracle() -> str:
+    """Unrolled pinned HITS recurrence (graph.hits docstring spec).
+    DuckDB SUM(BIGINT) is HUGEINT; every score lands back in BIGINT via an
+    explicit cast; `//` floor-div on positives == Spark `div`."""
+    n_docs, base = _PR_N_DOCS, 10**12
+    head = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   unnest([doc_id + 1, doc_id * 2 + 1,
+                           doc_id + 9, doc_id + 2]) AS dst
+            FROM documents WHERE doc_id < {n_docs})
+          WHERE dst < {n_docs}),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        h0 AS (SELECT node, CAST({base} // n AS BIGINT) AS h
+               FROM nodes, nn)"""
+    body = ""
+    for k in range(_PR_ITERS):
+        body += f""",
+        ar{k} AS (
+          SELECT e.dst AS node, SUM(h.h) AS araw
+          FROM e JOIN h{k} h ON e.src = h.node GROUP BY e.dst),
+        qa{k} AS (
+          SELECT GREATEST(COALESCE(SUM(araw), 0) // {base}, 1) AS q
+          FROM ar{k}),
+        a{k} AS (
+          SELECT n.node, CAST(COALESCE(ar.araw, 0) // q.q AS BIGINT) AS a
+          FROM nodes n CROSS JOIN qa{k} q
+          LEFT JOIN ar{k} ar ON n.node = ar.node),
+        hr{k} AS (
+          SELECT e.src AS node, SUM(a.a) AS hraw
+          FROM e JOIN a{k} a ON e.dst = a.node GROUP BY e.src),
+        qh{k} AS (
+          SELECT GREATEST(COALESCE(SUM(hraw), 0) // {base}, 1) AS q
+          FROM hr{k}),
+        h{k + 1} AS (
+          SELECT n.node, CAST(COALESCE(hr.hraw, 0) // q.q AS BIGINT) AS h
+          FROM nodes n CROSS JOIN qh{k} q
+          LEFT JOIN hr{k} hr ON n.node = hr.node)"""
+    return head + body + f"""
+        SELECT h.node, h.h AS hub_fp, a.a AS auth_fp
+        FROM h{_PR_ITERS} h JOIN a{_PR_ITERS - 1} a ON h.node = a.node"""
+
+
 # media fixture shape: every image is W x H RGB with pixel channels pure
 # integer arithmetic of (doc_id, x, y), PPM-encoded in Spark and decoded
 # back by the REAL pure-Python codec (datapipe/codecs.py) — so the oracle
@@ -2499,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_fp": q_media_video_fp,
         "media_video_near_dup": q_media_video_near_dup,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -2803,6 +2871,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_fp": _media_video_fp_oracle(),
         "media_video_near_dup": _media_video_near_dup_oracle(),
         "link_pagerank": _pagerank_oracle(),
+        "link_hits": _hits_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
         "doc_gopher": _gopher_oracle(),

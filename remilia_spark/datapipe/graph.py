@@ -100,6 +100,111 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
+def hits(edges: DataFrame, iterations: int = 3,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-point HITS (Kleinberg); returns ``(node, hub_fp, auth_fp)``.
+
+    Complements ``pagerank`` for frontier prioritization: authority ranks
+    *where to fetch next*, hub scores rank *which fetched pages to re-parse
+    for links first* (a good hub's outlinks are worth expanding early).
+
+    Pinned integer spec (frozen — the DuckDB oracle replays it exactly):
+
+        edges       : DISTINCT (src, dst) — multi-links don't multiply score
+        h0(v)       = BASE div N
+        a_raw(v)    = SUM h(u) over in-edges (u,v)        -- exact int sum
+        a(v)        = a_raw(v) div max(A div BASE, 1),  A = SUM a_raw
+        h_raw(u)    = SUM a(v) over out-edges (u,v)
+        h(u)        = h_raw(u) div max(H div BASE, 1),  H = SUM h_raw
+
+    The normalization divisor is quantized to BASE granularity — a pinned,
+    division-free-in-spirit substitute for exact L1 normalization chosen so
+    every intermediate stays integer (bit-identical on any partitioning /
+    engine).  Scores stay O(BASE); per-node sums stay < indeg·BASE, so
+    64-bit holds for in/out-degrees < ~9·10^6 at BASE 10^12 (drop BASE two
+    orders for denser graphs).  The two corpus-wide totals A and H are
+    HUGEINT/decimal scalar aggregates (one number to the driver each).
+
+    Scale: the edge list is persisted twice, pre-shuffled on src and on
+    dst, so each iteration shuffles only the (node, score) table — same
+    pattern as ``pagerank``'s src-side persist.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, hub_fp long, "
+                                         "auth_fp long")
+    e_src = e.repartition("src").persist()   # joined on src each iteration
+    e_dst = e.repartition("dst").persist()   # joined on dst each iteration
+
+    def total(df: DataFrame, col: str) -> int:
+        row = df.agg(F.coalesce(
+            F.sum(F.col(col).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"))).collect()[0][0]
+        return int(row)
+
+    hubs = nodes.withColumn("hub_fp", F.lit(BASE // n).cast("long"))
+    auth = None
+    try:
+        for _ in range(iterations):
+            araw = (e_src.join(hubs.withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst").agg(F.sum("hub_fp").alias("araw")))
+            qa = max(total(araw, "araw") // BASE, 1)
+            auth = (nodes.join(araw.withColumnRenamed("dst", "node"),
+                               "node", "left")
+                    .select("node",
+                            F.expr(f"coalesce(araw, 0) div {qa}")
+                            .cast("long").alias("auth_fp"))
+                    .localCheckpoint(eager=True))
+            hraw = (e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
+                    .groupBy("src").agg(F.sum("auth_fp").alias("hraw")))
+            qh = max(total(hraw, "hraw") // BASE, 1)
+            hubs = (nodes.join(hraw.withColumnRenamed("src", "node"),
+                               "node", "left")
+                    .select("node",
+                            F.expr(f"coalesce(hraw, 0) div {qh}")
+                            .cast("long").alias("hub_fp"))
+                    .localCheckpoint(eager=True))
+    finally:
+        e_src.unpersist()
+        e_dst.unpersist()
+    return hubs.join(auth, "node")
+
+
+def hits_py(edge_list, iterations: int = 3) -> dict[int, tuple[int, int]]:
+    """Pure-Python twin of ``hits`` (same pinned spec) — the unit-test
+    oracle.  Returns node -> (hub_fp, auth_fp)."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    h = {v: BASE // n for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        araw = {v: 0 for v in nodes}
+        for u, v in edges:
+            araw[v] += h[u]
+        qa = max(sum(araw.values()) // BASE, 1)
+        a = {v: araw[v] // qa for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for u, v in edges:
+            hraw[u] += a[v]
+        qh = max(sum(hraw.values()) // BASE, 1)
+        h = {v: hraw[v] // qh for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
 def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
                          max_iterations: int = 50) -> DataFrame:
     """Connected components by min-label propagation; returns

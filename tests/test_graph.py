@@ -57,3 +57,51 @@ def test_pagerank_properties():
     assert max(r, key=r.get) == 3
     # node 5 has no in-edges: minimum (pure teleport + dangling share)
     assert min(r, key=r.get) == 5
+
+
+def test_hits_matches_python_twin(spark):
+    from remilia_spark.datapipe.graph import hits, hits_py
+    # duplicate edge on purpose: DISTINCT is part of the pinned spec
+    edges = _EDGES + [(0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub_fp, r.auth_fp)
+           for r in hits(e, iterations=3).collect()}
+    assert got == hits_py(edges, iterations=3)
+
+
+def test_hits_partitioning_invariant(spark):
+    from remilia_spark.datapipe.graph import hits
+    e1 = spark.createDataFrame(_EDGES, "src long, dst long").repartition(1)
+    e8 = spark.createDataFrame(_EDGES, "src long, dst long").repartition(8)
+    r1 = {r.node: (r.hub_fp, r.auth_fp)
+          for r in hits(e1, iterations=2).collect()}
+    r8 = {r.node: (r.hub_fp, r.auth_fp)
+          for r in hits(e8, iterations=2).collect()}
+    assert r1 == r8
+
+
+def test_hits_properties():
+    from remilia_spark.datapipe.graph import hits_py
+    r = hits_py(_EDGES, iterations=4)
+    hubs = {v: h for v, (h, _) in r.items()}
+    auth = {v: a for v, (_, a) in r.items()}
+    # node 0 is pointed at by the top hub (3) plus 5: top authority
+    assert max(auth, key=auth.get) == 0
+    # node 3 concentrates the diamond's out-links: top hub
+    assert max(hubs, key=hubs.get) == 3
+    # node 4 is a pure sink: zero hub score; node 5 links only into the
+    # core: nonzero hub, zero authority
+    assert hubs[4] == 0 and auth[5] == 0
+    # scores stay O(BASE) (the quantized-normalization bound)
+    assert all(0 <= x <= 2 * BASE for x in list(hubs.values())
+               + list(auth.values()))
+
+
+def test_hits_empty_and_validation(spark):
+    import pytest
+    from remilia_spark.datapipe.graph import hits
+    e = spark.createDataFrame([], "src long, dst long")
+    assert hits(e).count() == 0
+    with pytest.raises(ValueError):
+        hits(spark.createDataFrame([(1, 2)], "src long, dst long"),
+             iterations=0)
