@@ -2068,6 +2068,54 @@ def _lm_bucket_oracle() -> str:
         FROM r"""
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_doc_dsir(spark, sf):
+    """DSIR importance weights (datapipe.dsir): hashed-bigram bucket model
+    fit on a pseudo in-domain slice (doc_id % 7 == 0) vs the whole pool,
+    then the pinned fixed-point mean-ratio score per document.  Integer
+    end-to-end, so the DuckDB oracle matches bit-for-bit."""
+    from remilia_spark.datapipe import dsir
+
+    d = _read(spark, sf, "documents")
+    target = d.where(F.col("doc_id") % 7 == 0)
+    model = dsir.train_dsir(d, target, n_buckets=_DSIR_BUCKETS)
+    return dsir.dsir_scores(d, model)
+
+
+def _dsir_oracle() -> str:
+    toks_l = _TOKS_SQL.format(t="lower(text)")
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks_l} AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM toks),
+        bk AS (
+          SELECT doc_id,
+                 {_HASH60_SQL.format(x="g")} % {_DSIR_BUCKETS} AS bucket
+          FROM bg),
+        ctr AS (SELECT bucket, count(*) AS c_raw FROM bk GROUP BY bucket),
+        ctt AS (SELECT bucket, count(*) AS c_target FROM bk
+                WHERE doc_id % 7 = 0 GROUP BY bucket),
+        r AS (
+          SELECT bk.doc_id,
+                 (coalesce(ctt.c_target, 0) + 1) * 1000000
+                   // (coalesce(ctr.c_raw, 0) + 1) AS ratio_fp
+          FROM bk LEFT JOIN ctt USING (bucket)
+          LEFT JOIN ctr USING (bucket)),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(ratio_fp) // count(*) AS BIGINT) AS dsir_fp
+          FROM r GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(s.dsir_fp, 0) AS BIGINT) AS dsir_fp
+        FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
 def q_pipeline_corpus(spark, sf):
     """End-to-end training-corpus pipeline — the composition a real user
     runs: exact dedup (keep canonical) -> Gopher keep/drop -> CCNet LM
@@ -2537,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_shards": q_doc_token_shards,
         "doc_lm_bucket": q_doc_lm_bucket,
+        "doc_dsir": q_doc_dsir,
         "pipeline_corpus": q_pipeline_corpus,
         "url_recrawl": q_url_recrawl,
         "doc_revisit_compact": q_doc_revisit_compact,
@@ -2880,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_sample_oracle(),
         "doc_token_shards": _token_shards_oracle(),
         "doc_lm_bucket": _lm_bucket_oracle(),
+        "doc_dsir": _dsir_oracle(),
         "pipeline_corpus": _pipeline_corpus_oracle(),
         "url_recrawl": _recrawl_oracle(),
         "doc_revisit_compact": _REVISIT_ORACLE,
