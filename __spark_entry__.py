@@ -681,6 +681,113 @@ def _hits_oracle() -> str:
         FROM h{_PR_ITERS} h JOIN a{_PR_ITERS - 1} a ON h.node = a.node"""
 
 
+def q_link_host_rank(spark, sf):
+    """Host-graph authority: page-level edges rolled up to registered
+    domains (urlnorm.registered_domain_col over the regdom host mix),
+    self-loops dropped, multiplicity kept (a domain linking another 10×
+    contributes 10 shares), then fixed-point PageRank on the domain
+    graph — the SCALE.md-recommended way to run authority at 10^10
+    edges (host graph is orders smaller than the page graph).  Node ids
+    are the 60-bit md5 word_hash of the domain, so the DuckDB oracle
+    replays the identical integer recurrence."""
+    from remilia_spark.datapipe import graph
+    from remilia_spark.datapipe.textstats import word_hash
+    from remilia_spark.urlnorm import registered_domain_col
+
+    d = _read(spark, sf, "documents") \
+        .where(F.col("doc_id") < _PR_N_DOCS)
+    dom = d.select(
+        F.col("doc_id"),
+        registered_domain_col(_domain_host_mix()).alias("domain"))
+    did = F.col("doc_id")
+    e = dom.select(
+        did.alias("src"),
+        F.explode(F.array(did + 1, did * 2 + 1, did + 9, did + 2))
+        .alias("dst"),
+    ).where(F.col("dst") < _PR_N_DOCS)
+    # page edge -> domain edge (hash ids), self-links drop
+    dmap = dom.select("doc_id",
+                      word_hash(F.col("domain")).alias("h")).alias("m")
+    e = (e.join(dmap.withColumnRenamed("doc_id", "src")
+                .withColumnRenamed("h", "src_h"), "src")
+         .join(dmap.withColumnRenamed("doc_id", "dst")
+               .withColumnRenamed("h", "dst_h"), "dst")
+         .where(F.col("src_h") != F.col("dst_h"))
+         .select(F.col("src_h").alias("src"), F.col("dst_h").alias("dst")))
+    r = graph.pagerank(e, iterations=_PR_ITERS)
+    names = dom.select(word_hash(F.col("domain")).alias("node"),
+                       "domain").distinct()
+    return (r.join(names, "node")
+            .select("domain", F.col("rank_fp").cast("long").alias("rank_fp")))
+
+
+def _host_rank_oracle() -> str:
+    """Domain-edge rollup + the unrolled fixed-point PageRank recurrence
+    (same spec as _pagerank_oracle, nodes = domain hashes)."""
+    n_docs, base = _PR_N_DOCS, 10**12
+    head = f"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3
+                      THEN '192.168.' || CAST(doc_id % 3 AS VARCHAR) || '.1'
+                      ELSE CASE WHEN doc_id % 2 = 0 THEN 'sub.' ELSE '' END
+                           || 'site' || CAST(doc_id % 7 AS VARCHAR)
+                           || CASE WHEN doc_id % 4 = 0 THEN '.test'
+                                   WHEN doc_id % 4 = 1 THEN '.co.uk'
+                                   ELSE '.com.au' END
+                 END AS host
+          FROM documents WHERE doc_id < {n_docs}),
+        {_regdom_sql('u')},
+        dmap AS (
+          SELECT doc_id, domain,
+                 {_HASH60_SQL.format(x="domain")} AS h
+          FROM _rd),
+        pe AS (
+          SELECT src, dst FROM (
+            SELECT doc_id AS src,
+                   unnest([doc_id + 1, doc_id * 2 + 1,
+                           doc_id + 9, doc_id + 2]) AS dst
+            FROM documents WHERE doc_id < {n_docs})
+          WHERE dst < {n_docs}),
+        e AS (
+          SELECT s.h AS src, t.h AS dst
+          FROM pe JOIN dmap s ON pe.src = s.doc_id
+          JOIN dmap t ON pe.dst = t.doc_id
+          WHERE s.h <> t.h),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST({base} // n AS BIGINT) AS r
+               FROM nodes, nn)"""
+    body = ""
+    for k in range(_PR_ITERS):
+        body += f""",
+        d{k} AS (
+          SELECT CAST(COALESCE(SUM(r.r), 0) // (SELECT n FROM nn)
+                      AS BIGINT) AS dpn
+          FROM r{k} r LEFT JOIN outdeg o ON r.node = o.src
+          WHERE o.src IS NULL),
+        c{k} AS (
+          SELECT e.dst AS node, SUM(r.r // o.odeg) AS c
+          FROM e JOIN r{k} r ON e.src = r.node
+          JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst),
+        r{k + 1} AS (
+          SELECT n.node,
+                 CAST((15 * {base}) // (100 * nn.n)
+                      + 85 * (COALESCE(c.c, 0) + d.dpn) // 100
+                      AS BIGINT) AS r
+          FROM nodes n
+          CROSS JOIN nn
+          CROSS JOIN d{k} d
+          LEFT JOIN c{k} c ON n.node = c.node)"""
+    return head + body + f"""
+        SELECT DISTINCT m.domain, r.r AS rank_fp
+        FROM r{_PR_ITERS} r JOIN dmap m ON r.node = m.h"""
+
+
 # media fixture shape: every image is W x H RGB with pixel channels pure
 # integer arithmetic of (doc_id, x, y), PPM-encoded in Spark and decoded
 # back by the REAL pure-Python codec (datapipe/codecs.py) — so the oracle
@@ -2616,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_near_dup": q_media_video_near_dup,
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
+        "link_host_rank": q_link_host_rank,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -2921,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_near_dup": _media_video_near_dup_oracle(),
         "link_pagerank": _pagerank_oracle(),
         "link_hits": _hits_oracle(),
+        "link_host_rank": _host_rank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
         "doc_gopher": _gopher_oracle(),
