@@ -2175,6 +2175,49 @@ def _lm_bucket_oracle() -> str:
         FROM r"""
 
 
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization (datapipe.sessions.gap_sessions): the
+    events stream splits into per-user sessions at >30-min gaps —
+    microsecond-exact boundaries (unix_micros both engines), one shuffle
+    on the session key."""
+    from remilia_spark.datapipe.sessions import gap_sessions
+
+    ev = _read(spark, sf, "events")
+    return gap_sessions(ev, "user_id", "ts", "event_id",
+                        gap_seconds=1800)
+
+
+_EVENT_SESSIONS_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m),
+    f AS (
+      SELECT *,
+             first_value(event_id) OVER
+               (PARTITION BY user_id, session_idx
+                ORDER BY ts_us, event_id) AS first_id
+      FROM s)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(first_id) AS first_id
+    FROM f
+    GROUP BY user_id, session_idx"""
+
+
 _DSIR_BUCKETS = 1024
 
 
@@ -2693,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_shards": q_doc_token_shards,
         "doc_lm_bucket": q_doc_lm_bucket,
         "doc_dsir": q_doc_dsir,
+        "event_sessions": q_event_sessions,
         "pipeline_corpus": q_pipeline_corpus,
         "url_recrawl": q_url_recrawl,
         "doc_revisit_compact": q_doc_revisit_compact,
@@ -3039,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_shards": _token_shards_oracle(),
         "doc_lm_bucket": _lm_bucket_oracle(),
         "doc_dsir": _dsir_oracle(),
+        "event_sessions": _EVENT_SESSIONS_ORACLE,
         "pipeline_corpus": _pipeline_corpus_oracle(),
         "url_recrawl": _recrawl_oracle(),
         "doc_revisit_compact": _REVISIT_ORACLE,
