@@ -98,3 +98,46 @@ def test_filter_pushdown_reaches_scan(docs):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert pushed, p
     assert "EqualTo(lang,en)" in pushed[0], pushed[0]
+
+
+def test_clean_params_is_pure_column_math(docs):
+    """SCALE.md: the query-param canonicalization runs inside the same
+    codegen projection as the accept filter — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from remilia_spark.urlnorm import clean_params_col
+
+    df = docs.select(
+        F.concat(F.lit("http://h.test/?utm_a=1&k="),
+                 F.col("doc_id").cast("string")).alias("url"))
+    plan = _plan(df.select(clean_params_col(F.col("url")).alias("c")))
+    _assert_no_shuffle(plan)
+    assert "EvalPython" not in plan
+
+
+def test_sessions_single_shuffle(docs):
+    """SCALE.md: lag + running sum + the session agg share ONE shuffle on
+    the session key (window partitioning reused by the partial agg)."""
+    from pyspark.sql import functions as F
+
+    from remilia_spark.datapipe.sessions import gap_sessions
+
+    ev = docs.select(F.col("lang").alias("host"),
+                     F.col("doc_id").alias("id"),
+                     F.to_timestamp(F.lit("2024-08-07 00:00:00")).alias("ts"))
+    # "simple" mode prints one "Exchange hashpartitioning(...)" node line
+    # per shuffle ("formatted" splits node name and arguments)
+    plan = _plan(gap_sessions(ev, "host", "ts", "id"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_scoring_stays_jvm(docs):
+    """DSIR scoring: hash/join/agg built-ins only — no Python stage
+    anywhere in the scoring plan."""
+    from remilia_spark.datapipe import dsir
+
+    model = dsir.train_dsir(docs, docs.where("doc_id % 7 = 0"),
+                            n_buckets=64)
+    plan = _plan(dsir.dsir_scores(docs, model))
+    assert "EvalPython" not in plan
