@@ -59,6 +59,12 @@ def parse_args(argv):
                         "AllowedDomain); off-list discoveries insert as "
                         "terminal 'filtered' rows and never consume the "
                         "trap guard's per-host capacity")
+    p.add_argument("--politeness-key", default="host",
+                   choices=("host", "domain"),
+                   help="token-bucket key: per host (default) or per "
+                        "registered domain (eTLD+1) — one bucket per "
+                        "registrable domain stops subdomain-spray rate "
+                        "multiplication")
     p.add_argument("--strip-tracking-params", action="store_true",
                    help="second canonicalization pass: drop cross-site "
                         "tracking params (utm_*, fbclid, gclid, ...) from "
@@ -142,6 +148,7 @@ def main(argv=None) -> int:
                          if args.allowed_domains else ()),
         seen_filter=args.seen_filter,
         strip_tracking_params=args.strip_tracking_params,
+        politeness_key=args.politeness_key,
     )
     if args.expire_seen_before is not None or args.merge_seeds:
         if not args.resume:

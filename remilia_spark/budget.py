@@ -48,12 +48,19 @@ def _avail_col(cfg: CrawlConfig, superstep: int):
 
 def _join_budget_state(df: DataFrame, budgets: DataFrame,
                        robots: DataFrame | None, cfg: CrawlConfig,
-                       hint_broadcast: bool = False) -> DataFrame:
+                       hint_broadcast: bool = False,
+                       key: str = "host") -> DataFrame:
+    """``key`` is the politeness-key column of ``df`` (the budgets table
+    always stores its key in the ``host`` column, whatever it holds).
+    In domain mode the crawl_delay lookup matches robots rows whose host
+    EQUALS the key — i.e. the registrable domain's own robots entry
+    (pinned rule, see CrawlConfig.politeness_key)."""
     def h(t: DataFrame) -> DataFrame:
         return F.broadcast(t) if hint_broadcast else t
-    df = df.join(h(budgets), "host", "left")
+    df = df.join(h(budgets.withColumnRenamed("host", key)), key, "left")
     if robots is not None and cfg.use_crawl_delay:
-        df = df.join(h(robots.select("host", "crawl_delay")), "host", "left")
+        df = df.join(h(robots.select(F.col("host").alias(key),
+                                     "crawl_delay")), key, "left")
     else:
         df = df.withColumn("crawl_delay", F.lit(None).cast("int"))
     return df
@@ -70,7 +77,7 @@ def available_tokens(hosts: DataFrame, budgets: DataFrame,
 
 def attach_avail(pending: DataFrame, budgets: DataFrame,
                  robots: DataFrame | None, cfg: CrawlConfig,
-                 superstep: int) -> DataFrame:
+                 superstep: int, key: str = "host") -> DataFrame:
     """Append ``avail`` to pending rows directly — no distinct-hosts
     shuffle, no join back.  ``avail`` is a pure function of the host's
     budget/robots row and the superstep, so it can be computed per pending
@@ -81,7 +88,8 @@ def attach_avail(pending: DataFrame, budgets: DataFrame,
     ``broadcast_politeness=False`` and Spark falls back to a shuffle join.)
     """
     df = _join_budget_state(pending, budgets, robots, cfg,
-                            hint_broadcast=cfg.broadcast_politeness)
+                            hint_broadcast=cfg.broadcast_politeness,
+                            key=key)
     return df.select(*pending.columns,
                      F.coalesce(_avail_col(cfg, superstep).cast("long"),
                                 F.lit(0)).alias("avail"))
@@ -91,8 +99,10 @@ def updated_budgets(budgets: DataFrame, grants: DataFrame,
                     superstep: int) -> DataFrame:
     """Fold this superstep's grants into the budget table.
 
-    ``grants``: (host, avail, granted) with granted > 0 only.  Granted hosts
-    get ``(avail - granted, superstep)``; everyone else keeps their row.
+    ``grants``: (host, avail, granted) with granted > 0 only, where
+    ``host`` holds the politeness KEY (callers rename in domain mode).
+    Granted keys get ``(avail - granted, superstep)``; everyone else
+    keeps their row.
     """
     new_rows = grants.select(
         "host",

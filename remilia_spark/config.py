@@ -43,6 +43,16 @@ class CrawlConfig:
     initial_tokens: int = 100
     use_crawl_delay: bool = True  # robots crawl_delay d => 1 token / d steps
 
+    # politeness-budget key: "host" (default; the reference's unit) or
+    # "domain" (registered domain, eTLD+1) — one token bucket per
+    # registrable domain, so a wildcard-DNS subdomain spray cannot
+    # multiply its fetch rate by minting hosts.  Pinned domain-mode
+    # rules: host_rank becomes rank within the domain's wave; robots
+    # *blocking* stays per real host; crawl_delay is read from the
+    # registrable domain's own robots row (subdomain robots rows do not
+    # feed the domain bucket).
+    politeness_key: str = "host"
+
     # retry (backoff.go:40-46 defaults; full jitter, hash-seeded)
     min_delay: float = 1.0
     max_delay: float = 50.0

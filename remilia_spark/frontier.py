@@ -121,6 +121,20 @@ def _clean_np(df, cfg: CrawlConfig):
         F.col("np.path").alias("path")))
 
 
+def _pk_col(cfg: CrawlConfig):
+    """The politeness-key column expression over the frontier's ``host``
+    (CrawlConfig.politeness_key): the host itself, or its registered
+    domain (pure JVM column math — deriving it per row is free, so the
+    key is never stored in frontier state)."""
+    if cfg.politeness_key == "host":
+        return F.col("host")
+    if cfg.politeness_key == "domain":
+        from .urlnorm import registered_domain_col
+        return registered_domain_col(F.col("host"))
+    raise ValueError(f"politeness_key must be 'host' or 'domain', "
+                     f"got {cfg.politeness_key!r}")
+
+
 def _insert_state(cfg: CrawlConfig):
     """State a fresh row enters the frontier with: 'filtered' when robots
     blocks it or (if an allowlist is configured — the reference's
@@ -240,9 +254,18 @@ def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
     plans in ~ms.  (State durability is unaffected — the commit still
     round-trips everything through the storage manifest protocol.)
     """
-    granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
-                                      target_s), cfg,
-                         approx_rows=approx_rows)
+    if cfg.politeness_key == "host":
+        granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
+                                          target_s), cfg,
+                             approx_rows=approx_rows)
+    else:
+        # domain politeness: budgets/rank key on the derived registered
+        # domain; the column is recomputed (not stored) and dropped after
+        # the pop, so frontier state and the wave schema are unchanged
+        elig = eligible.withColumn("_pk", _pk_col(cfg))
+        granted = grant_wave(
+            attach_avail(elig, budgets, robots, cfg, target_s, key="_pk"),
+            cfg, approx_rows=approx_rows, key="_pk").drop("_pk")
     if cfg.wave_size is not None:
         pop_keys = ["depth", "host_rank", "discovery_order"]
         if authority is not None:
@@ -538,8 +561,14 @@ def run_superstep(
         frontier_tbl = changed
 
     # ---- budgets -----------------------------------------------------------
-    grants = wave.groupBy("host", "avail").agg(
-        F.count(F.lit(1)).alias("granted"))
+    # grants group by the politeness KEY (== host by default; derived
+    # registered domain in domain mode — recomputed column math over the
+    # checkpointed wave, free); the budgets table's `host` column holds
+    # the key
+    grants = (wave.withColumn("_pk", _pk_col(cfg))
+              .groupBy("_pk", "avail").agg(
+                  F.count(F.lit(1)).alias("granted"))
+              .withColumnRenamed("_pk", "host"))
     budgets_next = updated_budgets(budgets, grants, s)
 
     # ---- metrics: one bounded aggregate computes every statistic ----------

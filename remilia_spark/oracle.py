@@ -98,8 +98,21 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         order += 1
     next_order = order
 
-    budgets: dict[str, tuple[int, int]] = {}  # host -> (tokens, refill_step)
+    budgets: dict[str, tuple[int, int]] = {}  # politeness key -> (tokens, refill_step)
     initial = min(cfg.bucket_capacity, cfg.initial_tokens)
+
+    def pk_of(url: str) -> str:
+        """Politeness key of a URL — mirrors frontier._pk_col: the host,
+        or its registered domain in domain mode (where crawl_delay is
+        read from the robots row whose host EQUALS the key)."""
+        h = host_of(url)
+        if cfg.politeness_key == "domain":
+            from .urlnorm import registered_domain
+            return registered_domain(h)
+        if cfg.politeness_key != "host":
+            raise ValueError(f"politeness_key must be 'host' or 'domain', "
+                             f"got {cfg.politeness_key!r}")
+        return h
 
     def available(host: str, s: int) -> int:
         if host not in budgets:
@@ -131,10 +144,10 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
             res.per_step.append({"superstep": s, "wave": 0})
             continue
 
-        # budget pop: within-host rank by (depth, order)
+        # budget pop: within-politeness-key rank by (depth, order)
         by_host: dict[str, list[str]] = {}
         for u, r in eligible.items():
-            by_host.setdefault(host_of(u), []).append(u)
+            by_host.setdefault(pk_of(u), []).append(u)
         granted: list[tuple] = []  # (depth, host_rank, order, url, host)
         for host, urls in by_host.items():
             urls.sort(key=lambda u: (frontier[u]["depth"], frontier[u]["order"]))

@@ -75,12 +75,16 @@ def global_rank(df: DataFrame, keys: list[str], out_col: str,
 
 
 def grant_wave(pending: DataFrame, cfg: CrawlConfig,
-               approx_rows: int | None = None) -> DataFrame:
-    """Budget pop: pending rows that fit their host's budget, + host_rank.
+               approx_rows: int | None = None,
+               key: str = "host") -> DataFrame:
+    """Budget pop: pending rows that fit their key's budget, + host_rank.
 
-    ``pending`` must carry (host, depth, discovery_order, avail — see
-    ``budget.attach_avail``).  Returns pending columns + ``host_rank``
-    (1-based), filtered to ``host_rank <= avail``.
+    ``pending`` must carry (key column, depth, discovery_order, avail —
+    see ``budget.attach_avail``).  ``key`` is the politeness-key column
+    ("host" by default; a derived registered-domain column in domain
+    mode — the salted two-phase structure is identical, only the window
+    key changes).  Returns pending columns + ``host_rank`` (1-based,
+    rank within the key's wave), filtered to ``host_rank <= avail``.
 
     The pop is the salted two-phase top-k: local rank within
     ``(host, salt)`` prunes each host to ``<= n_salts * avail`` survivors,
@@ -107,7 +111,7 @@ def grant_wave(pending: DataFrame, cfg: CrawlConfig,
     order = [F.col(c) for c in HOST_ORDER]
     small = approx_rows is not None and approx_rows <= cfg.rank_small_wave
     if not small:
-        w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+        w_local = Window.partitionBy(key, "_salt").orderBy(*order)
         df = (
             df.withColumn("_salt", F.pmod(F.xxhash64("url"),
                                           F.lit(cfg.skew_salts)))
@@ -115,7 +119,7 @@ def grant_wave(pending: DataFrame, cfg: CrawlConfig,
               .where(F.col("_lr") <= F.col("avail"))  # prune before real rank
               .drop("_lr", "_salt")
         )
-    w_host = Window.partitionBy("host").orderBy(*order)
+    w_host = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("host_rank", F.row_number().over(w_host))
           .where(F.col("host_rank") <= F.col("avail"))
