@@ -148,3 +148,52 @@ def fixture_ts(epoch: int) -> dt.datetime:
     """UTC timestamp helper for deterministic fixtures."""
     return dt.datetime.fromtimestamp(epoch, dt.timezone.utc) \
         .replace(tzinfo=None)
+
+
+def cdx_segments(captures: DataFrame, records_per_segment: int = 10_000,
+                 num_partitions: int = 32,
+                 cleanup: list | None = None) -> DataFrame:
+    """Pack capture rows into published CDXJ shard blobs — the index a
+    crawl *produces* so the next consumer can run ``read_cdx`` /
+    ``cdx_to_seeds`` against it (CC's publishing layout: SURT-ordered
+    shards + a secondary index of each shard's key range).
+
+    Input: rows with (url, warc_ts, status, mime, digest, length, offset,
+    filename).  Returns ``(segment_id, n_records, first_surt, last_surt,
+    cdx_gz binary)`` — records totally ordered by (SURT, ts, url) within
+    and ACROSS segments via the engine's range-partitioned global rank
+    (never a one-task sort), so equal input yields byte-identical shards
+    on any cluster size, and (first_surt, last_surt) per shard is exactly
+    the cluster.idx content a binary-searching reader needs.
+
+    Scale: one rank shuffle of the capture rows; shard build is
+    applyInPandas over bounded groups (peak memory = one shard per task).
+    """
+    import pandas as pd
+
+    from remilia_spark.ranking import global_rank
+
+    with_surt = captures.withColumn(
+        "_surt", urlnorm.surt_key_col(F.col("url")))
+    ranked = global_rank(with_surt, keys=["_surt", "warc_ts", "url"],
+                         out_col="_r", num_partitions=num_partitions,
+                         cleanup=cleanup)
+    ranked = ranked.withColumn(
+        "segment_id", F.expr(f"_r div {int(records_per_segment)}"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_r", kind="mergesort")
+        blob = cdx_bytes(
+            [(r.url, r.warc_ts.to_pydatetime(), r.status, r.mime,
+              r.digest, r.length, r.offset, r.filename)
+             for r in pdf.itertuples()],
+            gz=True)
+        return pd.DataFrame({
+            "segment_id": [key[0]], "n_records": [len(pdf)],
+            "first_surt": [pdf["_surt"].iloc[0]],
+            "last_surt": [pdf["_surt"].iloc[-1]],
+            "cdx_gz": [blob]})
+
+    return ranked.groupBy("segment_id").applyInPandas(
+        build, schema="segment_id long, n_records long, first_surt string, "
+                      "last_surt string, cdx_gz binary")

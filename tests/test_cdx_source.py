@@ -116,3 +116,48 @@ def test_cdx_seeds_drive_the_engine(spark, tiny_corpus, tmp_path):
                                     tmp_path / "st_pq")
     assert fetched == {r["url"] for r in run_pq.fetch_events().collect()}
     assert len(fetched) > 0
+
+
+def test_cdx_segments_roundtrip_and_order(spark, tmp_path):
+    """Publishing path: capture rows -> SURT-ordered CDXJ shard blobs,
+    byte-identical on any partitioning, readable by read_cdx, with
+    (first_surt, last_surt) forming a non-overlapping ascending chain."""
+    rows = [
+        (f"http://h{i % 5}.test/p/{i}", cdx.fixture_ts(1_700_000_000 + i),
+         200, "text/html", f"D{i}", 100 + i, 10 * i, f"seg{i % 3}.warc.gz")
+        for i in range(25)
+    ]
+    schema = ("url string, warc_ts timestamp, status int, mime string, "
+              "digest string, length long, offset long, filename string")
+
+    def run(parts):
+        df = spark.createDataFrame(rows, schema).repartition(parts)
+        cleanup = []
+        out = {r["segment_id"]: (r["n_records"], r["first_surt"],
+                                 r["last_surt"], bytes(r["cdx_gz"]))
+               for r in cdx.cdx_segments(df, records_per_segment=10,
+                                         cleanup=cleanup).collect()}
+        for f in cleanup:
+            f.unpersist()
+        return out
+
+    s1, s8 = run(1), run(8)
+    assert s1 == s8
+    assert [s1[k][0] for k in sorted(s1)] == [10, 10, 5]
+    # shard key ranges ascend without overlap (the cluster.idx contract)
+    bounds = [(s1[k][1], s1[k][2]) for k in sorted(s1)]
+    for (f1, l1), (f2, _) in zip(bounds, bounds[1:]):
+        assert f1 <= l1 <= f2
+
+    # land the shards and read them back through the normal reader
+    out_dir = tmp_path / "pubcdx"
+    out_dir.mkdir()
+    for sid, (_, _, _, blob) in s1.items():
+        (out_dir / f"cdx-{sid:05d}.gz").write_bytes(blob)
+    back = cdx.read_cdx(spark, str(out_dir))
+    got = sorted((r["url"], str(r["warc_ts"]), r["status"], r["digest"],
+                  r["length"], r["offset"], r["warc_filename"])
+                 for r in back.collect())
+    want = sorted((u, str(ts), st, d, ln, off, fn)
+                  for u, ts, st, m, d, ln, off, fn in rows)
+    assert got == want
