@@ -31,7 +31,8 @@ Disallow: /
 
 _SITEMAP = b"""<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
-  <url><loc>http://host0.test/a</loc><lastmod>2024-08-01</lastmod></url>
+  <url><loc>http://host0.test/a</loc><lastmod>2024-08-01</lastmod>
+       <changefreq>Daily</changefreq></url>
   <url><loc> http://host0.test/b </loc></url>
   <url><lastmod>2024-08-02</lastmod></url>
 </urlset>"""
@@ -59,12 +60,12 @@ def test_parse_robots_txt_pure():
 
 def test_parse_sitemap_pure():
     assert list(parse_sitemap(_SITEMAP)) == [
-        ("http://host0.test/a", "2024-08-01", False),
-        ("http://host0.test/b", None, False),
+        ("http://host0.test/a", "2024-08-01", "daily", False),
+        ("http://host0.test/b", None, None, False),
     ]
     assert list(parse_sitemap(_SITEMAP_INDEX)) == [
-        ("http://host0.test/sitemap-1.xml", None, True),
-        ("http://host0.test/sitemap-2.xml.gz", None, True),
+        ("http://host0.test/sitemap-1.xml", None, None, True),
+        ("http://host0.test/sitemap-2.xml.gz", None, None, True),
     ]
     # gzip bodies sniffed by magic; malformed XML yields nothing
     assert list(parse_sitemap(gzip.compress(_SITEMAP))) \
@@ -160,3 +161,42 @@ def test_robots_to_sitemap_to_seeds_composition(spark):
         .withColumn("body", F.lit(bytearray(sm_body)))
     urls = {r["url"] for r in sitemap_urls(fetched).collect()}
     assert urls == {"http://host0.test/a", "http://host0.test/b"}
+
+
+def test_sitemap_schedule(spark):
+    """changefreq/lastmod -> the recrawl plan shape (pinned mapping,
+    earliest coherent declaration wins, index rows excluded, undated
+    URLs due now) — feeds recrawl.due_urls unchanged."""
+    from remilia_spark.recrawl import due_urls
+    from remilia_spark.sources.sitemap import sitemap_schedule
+
+    now = 1_722_988_800  # 2024-08-07 00:00:00 UTC
+    rows = [
+        # lastmod 2024-08-01 00:00:00 = 1722470400
+        ("s", "http://h.test/daily", "2024-08-01", "daily", False),
+        ("s", "http://h.test/wk", "2024-08-01T00:00:00", "weekly", False),
+        ("s", "http://h.test/undated", None, "hourly", False),
+        ("s", "http://h.test/unknown", "2024-08-01", "sometimes", False),
+        ("s", "http://h.test/nofreq", "2024-08-01", None, False),
+        ("s", "http://h.test/idx.xml", None, None, True),
+        # duplicate: daily (early) + yearly (late) -> daily row wins whole
+        ("s2", "http://h.test/daily", "2024-08-01", "yearly", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "sitemap_url string, url string, lastmod string, "
+              "changefreq string, is_index boolean")
+    got = {r["url"]: (r["next_interval_s"], r["next_fetch_epoch"])
+           for r in sitemap_schedule(df, now).collect()}
+    lm = 1_722_470_400
+    assert got == {
+        "http://h.test/daily": (86400, lm + 86400),
+        "http://h.test/wk": (604800, lm + 604800),
+        "http://h.test/undated": (3600, now),
+        "http://h.test/unknown": (8 * 86400, lm + 8 * 86400),
+        "http://h.test/nofreq": (8 * 86400, lm + 8 * 86400),
+    }
+    # plugs straight into the standing-crawl due-list
+    due = {r["url"] for r in due_urls(sitemap_schedule(df, now),
+                                      now).collect()}
+    # daily: due Aug 2 < now (Aug 7); weekly: due Aug 8 > now — not yet
+    assert due == {"http://h.test/daily", "http://h.test/undated"}
