@@ -2266,6 +2266,34 @@ def _dsir_oracle() -> str:
         FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+_DSIR_FRACTION = 0.25
+
+
+def q_doc_dsir_select(spark, sf):
+    """DSIR selection cut (dsir.dsir_select): deterministic top-fraction
+    keep over the scored pool via the range-partitioned global rank —
+    the full select-for-training loop, oracle-exact."""
+    from remilia_spark.datapipe import dsir
+
+    return dsir.dsir_select(q_doc_dsir(spark, sf),
+                            fraction=_DSIR_FRACTION)
+
+
+def _dsir_select_oracle() -> str:
+    return f"""
+        WITH s AS ({_dsir_oracle()}),
+        r AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY dsir_fp, doc_id) - 1
+                      AS BIGINT) AS dsir_rank,
+                 (SELECT count(*) FROM s) AS n
+          FROM s)
+        SELECT doc_id, n_bigrams, dsir_fp, dsir_rank,
+               dsir_rank >= n - CAST(floor(n * {_DSIR_FRACTION})
+                                     AS BIGINT) AS keep
+        FROM r"""
+
+
 def q_pipeline_corpus(spark, sf):
     """End-to-end training-corpus pipeline — the composition a real user
     runs: exact dedup (keep canonical) -> Gopher keep/drop -> CCNet LM
@@ -2737,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bucket": q_doc_lm_bucket,
         "doc_dsir": q_doc_dsir,
         "event_sessions": q_event_sessions,
+        "doc_dsir_select": q_doc_dsir_select,
         "pipeline_corpus": q_pipeline_corpus,
         "url_recrawl": q_url_recrawl,
         "doc_revisit_compact": q_doc_revisit_compact,
@@ -3084,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_bucket": _lm_bucket_oracle(),
         "doc_dsir": _dsir_oracle(),
         "event_sessions": _EVENT_SESSIONS_ORACLE,
+        "doc_dsir_select": _dsir_select_oracle(),
         "pipeline_corpus": _pipeline_corpus_oracle(),
         "url_recrawl": _recrawl_oracle(),
         "doc_revisit_compact": _REVISIT_ORACLE,
