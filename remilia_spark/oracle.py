@@ -53,10 +53,14 @@ class OracleResult:
 def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
           robots: pd.DataFrame | None, cfg: CrawlConfig) -> OracleResult:
     corpus = {r["url"]: r["html"] for _, r in pages.iterrows()}
-    rob: dict[str, tuple[list[str], int]] = {}
+    rob: dict[str, tuple[list[str], int, list[str] | None]] = {}
     if robots is not None:
+        has_allow = "allow" in robots.columns
         for _, r in robots.iterrows():
-            rob[r["host"]] = (list(r["disallow"]), int(r["crawl_delay"]))
+            allow = list(r["allow"]) \
+                if has_allow and r["allow"] is not None else None
+            rob[r["host"]] = (list(r["disallow"]), int(r["crawl_delay"]),
+                              allow)
 
     def canon(url: str, base: str | None = None) -> str | None:
         """normalize_url + the opt-in tracking-param strip — mirrors the
@@ -73,7 +77,13 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         if host not in rob:
             return False
         p = path_of(url)
-        return any(p.startswith(d) for d in rob[host][0])
+        dis, _, allow = rob[host]
+        if allow is None:  # legacy prefix rule (robots.blocked_col default)
+            return any(p.startswith(d) for d in dis)
+        # REP longest-match: most specific rule wins, tie -> Allow
+        dlen = max((len(d) for d in dis if p.startswith(d)), default=-1)
+        alen = max((len(a) for a in allow if p.startswith(a)), default=-1)
+        return dlen > alen
 
     # frontier rows: url -> dict(depth, order, attempt, next_eligible, state)
     frontier: dict[str, dict] = {}

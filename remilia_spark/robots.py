@@ -14,13 +14,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ROBOTS_SCHEMA = "host string, disallow array<string>, crawl_delay int"
+# extended schema (REP Allow support): robots tables MAY carry a fourth
+# ``allow array<string>`` column; readers without it behave as before
+ROBOTS_SCHEMA_ALLOW = ROBOTS_SCHEMA + ", allow array<string>"
 
 
-def blocked_col(path: Column, disallow: Column) -> Column:
-    """True if path starts with any disallow prefix (null array -> false)."""
-    return F.coalesce(
-        F.exists(disallow, lambda d: path.startswith(d)), F.lit(False)
-    )
+def blocked_col(path: Column, disallow: Column,
+                allow: Column | None = None) -> Column:
+    """robots verdict for ``path`` as pure column math.
+
+    Without ``allow`` (the default, and any robots table lacking the
+    column): True if path starts with any disallow prefix — the original
+    pinned semantics, unchanged.
+
+    With ``allow``: the REP longest-match rule (google.com/robots spec,
+    RFC 9309 §2.2.2) — the most specific (longest) matching rule wins;
+    on equal lengths Allow wins.  Both arms are higher-order JVM
+    expressions (filter + transform + array_max), zero Python.
+    """
+    def longest(rules: Column) -> Column:
+        hits = F.filter(rules, lambda r: path.startswith(r))
+        return F.coalesce(
+            F.array_max(F.transform(hits, F.length)), F.lit(-1))
+
+    if allow is None:
+        return F.coalesce(
+            F.exists(disallow, lambda d: path.startswith(d)), F.lit(False)
+        )
+    return longest(disallow) > longest(F.coalesce(
+        allow, F.array().cast("array<string>")))
 
 
 def with_robots_state(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
@@ -35,12 +57,15 @@ def with_robots_state(candidates: DataFrame, robots: DataFrame | None) -> DataFr
     """
     if robots is None:
         return candidates.withColumn("robots_blocked", F.lit(False))
+    has_allow = "allow" in robots.columns
+    cols = ["host", "disallow"] + (["allow"] if has_allow else [])
     return (
         candidates
         # no forced broadcast: robots is per-host and can be ~10^8 rows at
         # full scale — AQE picks broadcast automatically when it is small
-        .join(robots.select("host", "disallow"), "host", "left")
+        .join(robots.select(*cols), "host", "left")
         .withColumn("robots_blocked",
-                    blocked_col(F.col("path"), F.col("disallow")))
-        .drop("disallow")
+                    blocked_col(F.col("path"), F.col("disallow"),
+                                F.col("allow") if has_allow else None))
+        .drop(*[c for c in cols if c != "host"])
     )

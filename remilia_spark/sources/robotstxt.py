@@ -25,18 +25,21 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 
-from ..robots import ROBOTS_SCHEMA
+from ..robots import ROBOTS_SCHEMA_ALLOW
 
 
 def parse_robots_txt(body: bytes | str, agent: str = "*") \
-        -> tuple[list[str], int]:
-    """Pure function: robots.txt body → (disallow prefixes, crawl_delay).
+        -> tuple[list[str], list[str], int]:
+    """Pure function: robots.txt body → (disallow, allow, crawl_delay).
 
+    ``Allow:`` rules feed the REP longest-match verdict
+    (``robots.blocked_col`` with the allow column; RFC 9309 §2.2.2).
     Unit-testable without Spark and the exact body the Spark task runs.
     """
     if isinstance(body, bytes):
         body = body.decode("utf-8", "replace")
     disallow: list[str] = []
+    allow: list[str] = []
     delay = 0
     in_group = False       # inside the group that matches `agent`
     saw_rule = True        # last line was a rule (vs a user-agent line)
@@ -59,12 +62,14 @@ def parse_robots_txt(body: bytes | str, agent: str = "*") \
             continue
         if key == "disallow" and val:
             disallow.append(val)
+        elif key == "allow" and val:
+            allow.append(val)
         elif key == "crawl-delay":
             try:
                 delay = int(float(val))
             except ValueError:
                 pass
-    return disallow, delay
+    return disallow, allow, delay
 
 
 def parse_sitemap_directives(body: bytes | str) -> list[str]:
@@ -115,17 +120,20 @@ def sitemap_directives(fetched, host_col: str = "host",
 
 def robots_table(fetched, host_col: str = "host", body_col: str = "body",
                  agent: str = "*"):
-    """``(host, body:binary)`` rows → robots DataFrame (ROBOTS_SCHEMA)."""
+    """``(host, body:binary)`` rows → robots DataFrame
+    (ROBOTS_SCHEMA_ALLOW — carries the ``allow`` column, which switches
+    ``robots.blocked_col`` to REP longest-match; hand-built tables
+    without it keep the legacy prefix rule)."""
 
     def _parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                dis, delay = parse_robots_txt(
+                dis, allow, delay = parse_robots_txt(
                     bytes(body) if body is not None else b"", agent)
-                rows.append((host, dis, delay))
-            yield pd.DataFrame(rows,
-                               columns=["host", "disallow", "crawl_delay"])
+                rows.append((host, dis, delay, allow))
+            yield pd.DataFrame(rows, columns=["host", "disallow",
+                                              "crawl_delay", "allow"])
 
     return fetched.select(host_col, body_col) \
-        .mapInPandas(_parse, schema=ROBOTS_SCHEMA)
+        .mapInPandas(_parse, schema=ROBOTS_SCHEMA_ALLOW)

@@ -23,7 +23,7 @@ User-agent: *
 Disallow: /private/
 Disallow: /tmp
 Crawl-delay: 2.7
-Allow: /private/ok   # unknown-to-us directive: ignored
+Allow: /private/ok
 
 User-agent: otherbot
 Disallow: /
@@ -45,17 +45,18 @@ _SITEMAP_INDEX = b"""<?xml version="1.0"?>
 
 
 def test_parse_robots_txt_pure():
-    dis, delay = parse_robots_txt(_ROBOTS)
+    dis, allow, delay = parse_robots_txt(_ROBOTS)
     assert dis == ["/private/", "/tmp"]
+    assert allow == ["/private/ok"]
     assert delay == 2
     # group targeting: a named agent sees its own group
-    assert parse_robots_txt(_ROBOTS, agent="otherbot") == (["/"], 0)
+    assert parse_robots_txt(_ROBOTS, agent="otherbot") == (["/"], [], 0)
     # empty / no-star robots allow everything
-    assert parse_robots_txt(b"") == ([], 0)
-    assert parse_robots_txt(b"User-agent: x\nDisallow: /") == ([], 0)
+    assert parse_robots_txt(b"") == ([], [], 0)
+    assert parse_robots_txt(b"User-agent: x\nDisallow: /") == ([], [], 0)
     # consecutive user-agent lines share one group
     both = b"User-agent: a\nUser-agent: *\nDisallow: /shared"
-    assert parse_robots_txt(both) == (["/shared"], 0)
+    assert parse_robots_txt(both) == (["/shared"], [], 0)
 
 
 def test_parse_sitemap_pure():
@@ -200,3 +201,88 @@ def test_sitemap_schedule(spark):
                                       now).collect()}
     # daily: due Aug 2 < now (Aug 7); weekly: due Aug 8 > now — not yet
     assert due == {"http://h.test/daily", "http://h.test/undated"}
+
+
+def test_allow_longest_match(spark):
+    """REP longest-match (RFC 9309 §2.2.2) through the full chain:
+    robots body -> robots_table (allow column) -> with_robots_state /
+    blocked_col -> oracle parity."""
+    import pyspark.sql.functions as F
+
+    from remilia_spark.robots import blocked_col, with_robots_state
+
+    body = (b"User-agent: *\n"
+            b"Disallow: /private/\n"
+            b"Allow: /private/ok\n"
+            b"Disallow: /private/ok/nested\n"
+            b"Allow: /x\n"
+            b"Disallow: /x\n")  # equal length: Allow wins
+    fetched = spark.createDataFrame([("h.test", bytearray(body))],
+                                    "host string, body binary")
+    robots = robots_table(fetched)
+    row = robots.collect()[0]
+    assert row.allow == ["/private/ok", "/x"]
+
+    cases = {
+        "/private/a": True,          # disallow only
+        "/private/ok": False,        # allow longer than disallow
+        "/private/okay": False,      # prefix semantics, like REP
+        "/private/ok/nested/f": True,  # deeper disallow wins again
+        "/x": False,                 # tie -> allow
+        "/public": False,            # no rule
+    }
+    cand = spark.createDataFrame([("h.test", p) for p in cases],
+                                 "host string, path string")
+    got = {r["path"]: r["robots_blocked"]
+           for r in with_robots_state(
+               cand.withColumn("url", F.lit("u")), robots).collect()}
+    assert got == cases
+
+    # two-arg legacy form is untouched (pinned engine fixtures)
+    legacy = {r["path"]: r["b"] for r in cand.join(robots, "host").select(
+        "path", blocked_col(F.col("path"), F.col("disallow")).alias("b"))
+        .collect()}
+    assert legacy["/private/ok"] is True  # no allow in the legacy rule
+
+
+def test_allow_robots_drive_the_engine(spark, tmp_path):
+    """End-to-end: an allow-carrying robots table changes insertion states
+    in the crawl, engine == oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from remilia_spark import oracle
+    from remilia_spark.config import CrawlConfig
+    from remilia_spark.engine import Engine
+    from remilia_spark.extract import extract_text
+
+    html = (b'<html><body><a href="/private/ok">ok</a>'
+            b'<a href="/private/no">no</a></body></html>')
+    rows = []
+    for u, h in (("http://h.test/", html),
+                 ("http://h.test/private/ok", b"<p>fine</p>")):
+        rows.append({"url": u, "warc_ts": dt.datetime(2024, 8, 7),
+                     "html": h, "text": extract_text(h), "lang": "en"})
+    pages_pd = pd.DataFrame(rows)
+    seeds_pd = pd.DataFrame({"url": ["http://h.test/"], "seed_order": [0]})
+    robots_pd = pd.DataFrame({"host": ["h.test"],
+                              "disallow": [["/private/"]],
+                              "crawl_delay": [0],
+                              "allow": [["/private/ok"]]})
+    cfg = CrawlConfig(max_depth=1, max_attempt=2, max_supersteps=10)
+    want = oracle.crawl(pages_pd, seeds_pd, robots_pd, cfg)
+    run = Engine(spark, cfg).run(
+        spark.createDataFrame(pages_pd), spark.createDataFrame(seeds_pd),
+        spark.createDataFrame(
+            robots_pd, "host string, disallow array<string>, "
+                       "crawl_delay int, allow array<string>"),
+        tmp_path / "st")
+    got_states = {r["url"]: r["state"] for r in run.frontier().collect()}
+    assert got_states == want.states
+    assert got_states["http://h.test/private/ok"] == "fetched"
+    assert got_states["http://h.test/private/no"] == "filtered"
+    got_events = [(r["superstep"], r["depth"], r["host_rank"],
+                   r["discovery_order"], r["url"])
+                  for r in run.fetch_events().collect()]
+    assert got_events == [tuple(e) for e in want.fetch_events]
