@@ -59,6 +59,10 @@ def parse_args(argv):
                         "AllowedDomain); off-list discoveries insert as "
                         "terminal 'filtered' rows and never consume the "
                         "trap guard's per-host capacity")
+    p.add_argument("--max-fetch-per-key", type=int, default=None,
+                   help="crawl-budget quota: max grants per politeness "
+                        "key over the whole crawl (checkpointed; resumes "
+                        "continue the count)")
     p.add_argument("--politeness-key", default="host",
                    choices=("host", "domain"),
                    help="token-bucket key: per host (default) or per "
@@ -149,6 +153,7 @@ def main(argv=None) -> int:
         seen_filter=args.seen_filter,
         strip_tracking_params=args.strip_tracking_params,
         politeness_key=args.politeness_key,
+        max_fetch_per_key=args.max_fetch_per_key,
     )
     if args.expire_seen_before is not None or args.merge_seeds:
         if not args.resume:

@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from .config import CrawlConfig
 
 BUDGETS_SCHEMA = "host string, tokens long, refill_superstep int"
+# crawl-budget quota state (cfg.max_fetch_per_key): cumulative grants per
+# politeness key; the `host` column holds the key, like the budgets table
+QUOTA_SCHEMA = "host string, granted_total long"
 
 
 def _avail_col(cfg: CrawlConfig, superstep: int):
@@ -111,3 +114,35 @@ def updated_budgets(budgets: DataFrame, grants: DataFrame,
     )
     kept = budgets.join(grants.select("host"), "host", "left_anti")
     return kept.unionByName(new_rows)
+
+
+def quota_clamp(pending: DataFrame, quota: DataFrame, cap: int,
+                key: str = "host", hint_broadcast: bool = False):
+    """Clamp ``avail`` to the key's remaining crawl budget
+    (``cfg.max_fetch_per_key``): avail' = max(0, min(avail, cap - used)).
+    Same broadcast economics as the budget join — quota is one row per
+    KEY, orders of magnitude smaller than the frontier."""
+    q = quota.withColumnRenamed("host", key)
+    if hint_broadcast:
+        q = F.broadcast(q)
+    return (pending.join(q, key, "left")
+            .withColumn(
+                "avail",
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.col("avail"),
+                            F.lit(int(cap)) - F.coalesce(
+                                F.col("granted_total"), F.lit(0))))
+                .cast("long"))
+            .drop("granted_total"))
+
+
+def updated_quota(quota: DataFrame, grants: DataFrame) -> DataFrame:
+    """Fold this superstep's grants into the cumulative quota table.
+    ``grants``: (host=key, granted) — full-outer merge, keys never drop."""
+    add = grants.select("host", F.col("granted").cast("long"))
+    return (quota.join(add, "host", "full")
+            .select("host",
+                    (F.coalesce(F.col("granted_total"), F.lit(0))
+                     + F.coalesce(F.col("granted"), F.lit(0)))
+                    .cast("long").alias("granted_total")))

@@ -52,6 +52,13 @@ class CrawlConfig:
     # registrable domain's own robots row (subdomain robots rows do not
     # feed the domain bucket).
     politeness_key: str = "host"
+    # crawl-budget quota: max GRANTS per politeness key over the whole
+    # crawl (None = unlimited).  Counts grants, not successful fetches,
+    # so a perpetually-failing host cannot burn more than its budget on
+    # retries either.  Quota-starved pending rows simply stop being
+    # granted — they stay pending (re-crawlable if the quota is raised
+    # on a resumed run).
+    max_fetch_per_key: int | None = None
 
     # retry (backoff.go:40-46 defaults; full jitter, hash-seeded)
     min_delay: float = 1.0

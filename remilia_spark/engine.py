@@ -171,6 +171,10 @@ class Engine:
             tables = {"frontier": frontier0.withColumn(
                           "rev", F.lit(0).cast("int")),
                       "budgets": budgets0, "seen": seen0}
+            if cfg.max_fetch_per_key is not None:
+                from .budget import QUOTA_SCHEMA
+                tables["quota"] = self.spark.createDataFrame(
+                    [], QUOTA_SCHEMA)
             if cfg.bloom_enabled:
                 from .seenfilter import (empty_seen_filter,
                                          update_seen_filter)
@@ -199,8 +203,9 @@ class Engine:
                     next_s = min(k for k in head["hist"] if k > s)
                     next_s = min(next_s, limit)
                     reuse_keys = ["frontier", "budgets", "seen"]
-                    if "bloom" in storage.manifest(s)["tables"]:
-                        reuse_keys.append("bloom")
+                    for extra_t in ("bloom", "quota"):
+                        if extra_t in storage.manifest(s)["tables"]:
+                            reuse_keys.append(extra_t)
                     for t in range(s, next_s):
                         stats = {"superstep": t, "pending": head["pending"],
                                  "eligible": 0, "wave": 0, "fetched": 0,

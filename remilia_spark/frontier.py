@@ -238,7 +238,8 @@ def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
                     robots: DataFrame | None, cfg: CrawlConfig,
                     target_s: int,
                     authority: DataFrame | None = None,
-                    approx_rows: int | None = None) -> DataFrame:
+                    approx_rows: int | None = None,
+                    quota: DataFrame | None = None) -> DataFrame:
     """Budget-grant + priority-pop ``eligible`` into the wave for superstep
     ``target_s``, materialized as an eager local checkpoint.
 
@@ -255,17 +256,20 @@ def _grant_wave_for(eligible: DataFrame, budgets: DataFrame,
     round-trips everything through the storage manifest protocol.)
     """
     if cfg.politeness_key == "host":
-        granted = grant_wave(attach_avail(eligible, budgets, robots, cfg,
-                                          target_s), cfg,
-                             approx_rows=approx_rows)
+        key, elig = "host", eligible
     else:
         # domain politeness: budgets/rank key on the derived registered
         # domain; the column is recomputed (not stored) and dropped after
         # the pop, so frontier state and the wave schema are unchanged
-        elig = eligible.withColumn("_pk", _pk_col(cfg))
-        granted = grant_wave(
-            attach_avail(elig, budgets, robots, cfg, target_s, key="_pk"),
-            cfg, approx_rows=approx_rows, key="_pk").drop("_pk")
+        key, elig = "_pk", eligible.withColumn("_pk", _pk_col(cfg))
+    att = attach_avail(elig, budgets, robots, cfg, target_s, key=key)
+    if cfg.max_fetch_per_key is not None and quota is not None:
+        from .budget import quota_clamp
+        att = quota_clamp(att, quota, cfg.max_fetch_per_key, key=key,
+                          hint_broadcast=cfg.broadcast_politeness)
+    granted = grant_wave(att, cfg, approx_rows=approx_rows, key=key)
+    if key == "_pk":
+        granted = granted.drop("_pk")
     if cfg.wave_size is not None:
         pop_keys = ["depth", "host_rank", "discovery_order"]
         if authority is not None:
@@ -322,6 +326,8 @@ def run_superstep(
                  "wave": 0, "fetched": 0, "discovered": 0,
                  "pending_after": n_pending, "idle": True}
         reuse = {"frontier": s, "budgets": s, "seen": s}
+        if "quota" in storage.manifest(s)["tables"]:
+            reuse["quota"] = s
         if "bloom" in storage.manifest(s)["tables"]:
             reuse["bloom"] = s
         storage.commit(s + 1, {}, extra={"stats": stats}, reuse=reuse)
@@ -331,10 +337,16 @@ def run_superstep(
     t_plan = time.monotonic()
     frontier = storage.read_frontier(s)  # folded current rows (+rev)
     budgets = storage.read_snapshot("budgets", s)
+    quota = None
+    if cfg.max_fetch_per_key is not None:
+        from .budget import QUOTA_SCHEMA
+        quota = (storage.read_snapshot("quota", s)
+                 if "quota" in storage.manifest(s)["tables"]
+                 else spark.createDataFrame([], QUOTA_SCHEMA))
     is_eligible = is_pending & (F.col("next_eligible") <= F.lit(s))
     wave = _grant_wave_for(frontier.where(is_eligible), budgets,
                            robots, cfg, s, authority=authority,
-                           approx_rows=n_eligible)
+                           approx_rows=n_eligible, quota=quota)
     t_wave = time.monotonic()
 
     # ---- corpus join = fetch (R3); wave is almost always ≪ pages ----------
@@ -570,6 +582,9 @@ def run_superstep(
                   F.count(F.lit(1)).alias("granted"))
               .withColumnRenamed("_pk", "host"))
     budgets_next = updated_budgets(budgets, grants, s)
+    if quota is not None:
+        from .budget import updated_quota
+        quota_next = updated_quota(quota, grants)
 
     # ---- metrics: one bounded aggregate computes every statistic ----------
     # (src, k1, k2) -> n: src 0 = wave rows (k1 partition id, k2
@@ -695,6 +710,9 @@ def run_superstep(
         "results": _coalesce_for_write(results, n_eligible, cap),
         "metrics": metrics,
     }
+    if quota is not None:
+        tables["quota"] = quota_next if not cfg.broadcast_politeness \
+            else quota_next.coalesce(min(cap, 8))
     if use_bloom:
         # fold the new keys in; never (re)create a filter mid-run — one
         # missing earlier keys would cause false negatives (= lost dedup)

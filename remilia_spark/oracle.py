@@ -109,6 +109,7 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
     next_order = order
 
     budgets: dict[str, tuple[int, int]] = {}  # politeness key -> (tokens, refill_step)
+    quota_used: dict[str, int] = {}           # politeness key -> grants so far
     initial = min(cfg.bucket_capacity, cfg.initial_tokens)
 
     def pk_of(url: str) -> str:
@@ -162,6 +163,10 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         for host, urls in by_host.items():
             urls.sort(key=lambda u: (frontier[u]["depth"], frontier[u]["order"]))
             a = available(host, s)
+            if cfg.max_fetch_per_key is not None:
+                # crawl-budget quota mirror (budget.quota_clamp)
+                a = min(a, cfg.max_fetch_per_key
+                        - quota_used.get(host, 0))
             for rank, u in enumerate(urls[: max(0, a)], start=1):
                 granted.append((frontier[u]["depth"], rank,
                                 frontier[u]["order"], u, host))
@@ -175,6 +180,8 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
             per_host_granted[host] = per_host_granted.get(host, 0) + 1
         for host, g in per_host_granted.items():
             budgets[host] = (available(host, s) - g, s)
+            if cfg.max_fetch_per_key is not None:
+                quota_used[host] = quota_used.get(host, 0) + g
 
         discovered: dict[str, tuple] = {}  # url -> (parent_order, link_index, depth, parent_hash)
         n_fetched = 0
