@@ -465,11 +465,25 @@ def _check_ann_fixture(n: int, dim: int) -> None:
             f"update _ANN_N/_ANN_DIM in __spark_entry__.py")
 
 
+_ann_shape_cache: dict[str, tuple[int, int]] = {}
+
+
+def _ann_shape(emb, sf: str) -> tuple[int, int]:
+    """(n_vectors, dim) of the embeddings fixture — ONE bounded aggregate
+    job, memoized per sf_dir, replacing the count()+first() pair that used
+    to run inside every ANN query body (two extra jobs per call at scale)."""
+    got = _ann_shape_cache.get(sf)
+    if got is None:
+        row = emb.agg(F.count(F.lit(1)).alias("n"),
+                      F.max(F.size("embedding")).alias("dim")).first()
+        got = (row["n"], row["dim"])
+        _ann_shape_cache[sf] = got
+    return got
+
+
 def q_embed_ann_lsh(spark, sf):
     emb = _read(spark, sf, "embeddings")
-    first = emb.select("embedding").first()
-    dim = len(first["embedding"])
-    n = emb.count()
+    n, dim = _ann_shape(emb, sf)
     _check_ann_fixture(n, dim)
     out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 10),
                               dim=dim, k=5, planes=None, tables=8,
@@ -530,13 +544,13 @@ def _ann_ivf_oracle() -> str:
 
 def q_embed_near_dup(spark, sf):
     emb = _read(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    _check_ann_fixture(emb.count(), dim)
+    n, dim = _ann_shape(emb, sf)
+    _check_ann_fixture(n, dim)
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.48 at
     # dim 64), so "near-dup" here means the top of that distribution
     out = similarity.embedding_near_duplicates(emb, dim=dim, threshold=0.3,
                                                planes=None, tables=8,
-                                               n_corpus=emb.count())
+                                               n_corpus=n)
     return out.select("vec_a", "vec_b")
 
 
@@ -2351,8 +2365,8 @@ def q_embed_semantic_dedup(spark, sf):
     """SemDeDup: deterministic k-means (similarity.kmeans_assign) then
     exact cosine within each cluster (semantic_near_duplicates)."""
     emb = _read(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    _check_ann_fixture(emb.count(), dim)
+    n, dim = _ann_shape(emb, sf)
+    _check_ann_fixture(n, dim)
     return similarity.semantic_near_duplicates(
         emb, dim=dim, k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD)
 

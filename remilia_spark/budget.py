@@ -121,11 +121,19 @@ def quota_clamp(pending: DataFrame, quota: DataFrame, cap: int,
     """Clamp ``avail`` to the key's remaining crawl budget
     (``cfg.max_fetch_per_key``): avail' = max(0, min(avail, cap - used)).
     Same broadcast economics as the budget join — quota is one row per
-    KEY, orders of magnitude smaller than the frontier."""
+    KEY, orders of magnitude smaller than the frontier.
+
+    The pre-clamp token-bucket availability is preserved as
+    ``bucket_avail``: the budget fold must decrement the bucket from its
+    UNCLAMPED value (available - granted, the oracle's rule).  Folding the
+    clamped value would drain the stored bucket below what was actually
+    spent whenever the quota binds, so a documented raised-quota resume
+    would restart the key artificially depleted."""
     q = quota.withColumnRenamed("host", key)
     if hint_broadcast:
         q = F.broadcast(q)
     return (pending.join(q, key, "left")
+            .withColumn("bucket_avail", F.col("avail"))
             .withColumn(
                 "avail",
                 F.greatest(

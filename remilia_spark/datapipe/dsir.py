@@ -140,6 +140,13 @@ def dsir_select(scored: DataFrame, fraction: float,
         raise ValueError("fraction must be in [0, 1]")
     from remilia_spark.ranking import global_rank
 
+    # pin one materialization of the scoring DAG: the count below AND the
+    # global_rank both consume `scored`; without the persist the full
+    # bigram-hash/join/agg chain (the heaviest stage at 10^10 docs)
+    # executes twice.  Same cleanup convention as global_rank.
+    scored = scored.persist()
+    if cleanup is not None:
+        cleanup.append(scored)
     n = scored.count()
     k = int(n * fraction)
     ranked = global_rank(scored, keys=["dsir_fp", "doc_id"],

@@ -159,6 +159,12 @@ def lm_quality_buckets(scored: DataFrame, n_buckets: int = 3,
         raise ValueError("labels must match n_buckets")
     from remilia_spark.ranking import global_rank
 
+    # one materialization of the scoring DAG for count + rank (the same
+    # double-execution fix as dsir_select; cleanup convention of
+    # global_rank)
+    scored = scored.persist()
+    if cleanup is not None:
+        cleanup.append(scored)
     n = scored.count()
     if n == 0:  # empty corpus: keep the schema, no div-by-zero
         return (scored.withColumn("lm_rank", F.lit(0).cast("long"))

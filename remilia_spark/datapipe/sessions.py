@@ -44,13 +44,21 @@ def gap_sessions(df: DataFrame, key: str, ts_col: str, id_col: str,
         raise ValueError("gap_seconds must be >= 1")
     gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(key).orderBy("ts_us", id_col)
-    # cast handles TIMESTAMP_NTZ inputs (parquet default); any constant
-    # session-tz offset the cast introduces cancels in the gap difference,
-    # so the session split is timezone-independent
+    # TIMESTAMP_NTZ inputs (parquet default) get a timezone-FREE epoch:
+    # wall-clock microseconds since the NTZ epoch via timestampdiff.  The
+    # earlier cast-to-timestamp went through the session timezone, whose
+    # offset is NOT constant across a DST transition — two events
+    # straddling the boundary got gaps shifted ±1h, which could change
+    # the session split and diverge from DuckDB's epoch_us oracle.
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts_us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)")
+    else:
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = (df.select(F.col(key), F.col(id_col),
                     F.col(ts_col).alias("ts"),
-                    F.unix_micros(F.col(ts_col).cast("timestamp"))
-                    .alias("ts_us"))
+                    ts_us.alias("ts_us"))
           .withColumn("prev_us", F.lag("ts_us").over(w))
           .withColumn(
               "is_new",

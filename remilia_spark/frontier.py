@@ -577,10 +577,18 @@ def run_superstep(
     # registered domain in domain mode — recomputed column math over the
     # checkpointed wave, free); the budgets table's `host` column holds
     # the key
+    # fold from the UNCLAMPED bucket availability: when the quota clamp is
+    # active the wave's `avail` is min(bucket, quota-remaining), but the
+    # stored bucket must decrement from what the bucket actually had
+    # (oracle rule: available(host, s) - granted) — see budget.quota_clamp
+    bucket_av = (F.col("bucket_avail") if "bucket_avail" in wave.columns
+                 else F.col("avail"))
     grants = (wave.withColumn("_pk", _pk_col(cfg))
-              .groupBy("_pk", "avail").agg(
+              .withColumn("_bav", bucket_av)
+              .groupBy("_pk", "_bav").agg(
                   F.count(F.lit(1)).alias("granted"))
-              .withColumnRenamed("_pk", "host"))
+              .withColumnRenamed("_pk", "host")
+              .withColumnRenamed("_bav", "avail"))
     budgets_next = updated_budgets(budgets, grants, s)
     if quota is not None:
         from .budget import updated_quota
@@ -710,9 +718,17 @@ def run_superstep(
         "results": _coalesce_for_write(results, n_eligible, cap),
         "metrics": metrics,
     }
+    reuse_tables: dict[str, int] = {}
     if quota is not None:
         tables["quota"] = quota_next if not cfg.broadcast_politeness \
             else quota_next.coalesce(min(cap, 8))
+    elif "quota" in man_s:
+        # quota clamp disabled on a resume of a quota-enabled run: carry
+        # the cumulative grant counts forward unchanged so re-enabling the
+        # quota later still sees every key's spend (dropping the table
+        # would silently reset every key to zero used — up to 2x the
+        # intended cap)
+        reuse_tables["quota"] = s
     if use_bloom:
         # fold the new keys in; never (re)create a filter mid-run — one
         # missing earlier keys would cause false negatives (= lost dedup)
@@ -725,6 +741,7 @@ def run_superstep(
     # planning/broadcast work (the round-2 driver-floor anomaly).
     t_mat = time.monotonic()
     storage.commit(s + 1, tables, extra={"stats_pending": n_pending},
+                   reuse=reuse_tables or None,
                    delta_frontier=not compact,
                    delta_seen=not seen_compact)
     t_commit = time.monotonic()

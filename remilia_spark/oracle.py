@@ -70,6 +70,18 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
             cu = clean_params(cu)
         return cu
 
+    def rule_match(p: str, r: str) -> bool:
+        """Python twin of robots._rule_match: plain rules keep prefix
+        semantics; '*'/'$'-carrying rules use RFC 9309 §2.2.3 wildcards."""
+        import re as _re
+        if "*" not in r and not r.endswith("$"):
+            return p.startswith(r)
+        ends = r.endswith("$")
+        body = r[:-1] if ends else r
+        pat = "^" + _re.escape(body).replace(r"\*", ".*") + \
+            ("$" if ends else "")
+        return _re.match(pat, p) is not None
+
     def robots_blocked(url: str) -> bool:
         host = host_of(url)
         if cfg.allowed_domains and host not in cfg.allowed_domains:
@@ -79,10 +91,10 @@ def crawl(pages: pd.DataFrame, seeds: pd.DataFrame,
         p = path_of(url)
         dis, _, allow = rob[host]
         if allow is None:  # legacy prefix rule (robots.blocked_col default)
-            return any(p.startswith(d) for d in dis)
+            return any(rule_match(p, d) for d in dis)
         # REP longest-match: most specific rule wins, tie -> Allow
-        dlen = max((len(d) for d in dis if p.startswith(d)), default=-1)
-        alen = max((len(a) for a in allow if p.startswith(a)), default=-1)
+        dlen = max((len(d) for d in dis if rule_match(p, d)), default=-1)
+        alen = max((len(a) for a in allow if rule_match(p, a)), default=-1)
         return dlen > alen
 
     # frontier rows: url -> dict(depth, order, attempt, next_eligible, state)

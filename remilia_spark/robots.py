@@ -19,27 +19,48 @@ ROBOTS_SCHEMA = "host string, disallow array<string>, crawl_delay int"
 ROBOTS_SCHEMA_ALLOW = ROBOTS_SCHEMA + ", allow array<string>"
 
 
+def _rule_match(path: Column, rule: Column) -> Column:
+    """Does ``path`` match one REP rule?  RFC 9309 §2.2.3 wildcards:
+    ``*`` matches any character sequence and a trailing ``$`` anchors the
+    end of the path; rules containing neither keep the plain prefix
+    (``startswith``) fast path.  The wildcard arm translates the rule to
+    an anchored Java regex entirely in column math (escape regex
+    metacharacters, drop the trailing anchor, ``*`` → ``.*``) and matches
+    with a non-constant-pattern RLIKE — still JVM-side, zero Python."""
+    wild = rule.contains("*") | rule.endswith("$")
+    ends = rule.endswith("$")
+    # strip ONE trailing $ (the anchor); any interior $ is literal (§2.2.3
+    # gives '$' meaning only at the end) and gets escaped below
+    body = F.regexp_replace(rule, r"\$$", "")
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pat = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                   F.when(ends, F.lit("$")).otherwise(F.lit("")))
+    return F.when(wild, F.rlike(path, pat)).otherwise(path.startswith(rule))
+
+
 def blocked_col(path: Column, disallow: Column,
                 allow: Column | None = None) -> Column:
     """robots verdict for ``path`` as pure column math.
 
     Without ``allow`` (the default, and any robots table lacking the
-    column): True if path starts with any disallow prefix — the original
-    pinned semantics, unchanged.
+    column): True if path matches any disallow rule — prefix semantics
+    for plain rules (the original pinned behavior, unchanged), RFC 9309
+    §2.2.3 ``*``/``$`` wildcard semantics for rules that carry them.
 
     With ``allow``: the REP longest-match rule (google.com/robots spec,
-    RFC 9309 §2.2.2) — the most specific (longest) matching rule wins;
-    on equal lengths Allow wins.  Both arms are higher-order JVM
-    expressions (filter + transform + array_max), zero Python.
+    RFC 9309 §2.2.2) — the most specific (longest rule text, the RFC's
+    octet-count measure) matching rule wins; on equal lengths Allow wins.
+    Both arms are higher-order JVM expressions (filter + transform +
+    array_max), zero Python.
     """
     def longest(rules: Column) -> Column:
-        hits = F.filter(rules, lambda r: path.startswith(r))
+        hits = F.filter(rules, lambda r: _rule_match(path, r))
         return F.coalesce(
             F.array_max(F.transform(hits, F.length)), F.lit(-1))
 
     if allow is None:
         return F.coalesce(
-            F.exists(disallow, lambda d: path.startswith(d)), F.lit(False)
+            F.exists(disallow, lambda d: _rule_match(path, d)), F.lit(False)
         )
     return longest(disallow) > longest(F.coalesce(
         allow, F.array().cast("array<string>")))
