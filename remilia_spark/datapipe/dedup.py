@@ -177,6 +177,83 @@ def remove_duplicate_blocks(df: DataFrame, text_col: str = "text",
     )
 
 
+def remove_duplicate_blocks_sliding(df: DataFrame, text_col: str = "text",
+                                    block_tokens: int = 8,
+                                    window_tokens: int | None = None
+                                    ) -> DataFrame:
+    """(doc_id, n_blocks, n_kept, text_kept) — duplicate-passage removal
+    with sliding-window detection at block-removal granularity.
+
+    Closes :func:`remove_duplicate_blocks`'s unaligned-duplicate gap: the
+    disjoint-block impl only matches passages that land on the same
+    ``block_tokens`` grid in both copies, so a passage duplicated at a
+    non-block token offset is silently missed.  Here EVERY ``k``-token
+    window (stride 1, k = ``window_tokens``, default ``block_tokens``) is
+    hashed, so a duplicated run of ≥ k tokens is caught at ANY offset —
+    the batch analogue of the suffix-array ExactSubstr of Lee et al. 2021
+    at window sharpness.  A window *recurs* when an identical window
+    appears earlier in global (doc_id, start_pos) order; every disjoint
+    block a recurring window overlaps is dropped, and the corpus-first
+    occurrence keeps all its blocks.
+
+    Scale (100 TB): the shuffle carries one row per token position —
+    (60-bit window hash, doc_id, pos); window TEXT is hashed *before* the
+    exchange and never shuffles.  The ×n_tokens row amplification is the
+    same order as the MinHash shingle explode already in this package,
+    and window hashes are near-uniform so the first-occurrence window
+    rank has no hot keys.  Dropped-block ids shuffle once more as
+    (doc_id, block_idx) longs; reassembly stays one groupBy on doc_id.
+    """
+    k = int(window_tokens or block_tokens)
+    B = int(block_tokens)
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_blocks = F.ceil(n / F.lit(float(B))).cast("int")
+    blocks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * B + 1, B)),
+    )).otherwise(F.array().cast("array<string>"))
+    rows = df.select("doc_id",
+                     F.posexplode(blocks).alias("block_idx", "block"))
+    # stride-1 windows, hashed in-array (the text never leaves the map side)
+    win_hashes = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: word_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )).otherwise(F.array().cast("array<long>"))
+    wins = df.select("doc_id",
+                     F.posexplode(win_hashes).alias("pos", "whash"))
+    w = Window.partitionBy("whash").orderBy("doc_id", "pos")
+    rec = wins.withColumn("rn", F.row_number().over(w)) \
+              .where(F.col("rn") > 1)
+    # pos <= n-k so the window's last token (pos+k-1) is in-doc — the
+    # covering block range needs no clamp
+    dup_blocks = rec.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.floor(F.col("pos") / B).cast("int"),
+            F.floor((F.col("pos") + k - 1) / B).cast("int"),
+        )).alias("block_idx")
+    ).distinct().withColumn("_dup", F.lit(True))
+    marked = rows.join(dup_blocks, ["doc_id", "block_idx"], "left")
+    keep = F.col("_dup").isNull()
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(keep,
+                       F.struct(F.col("block_idx"), F.col("block"))))),
+            lambda s: s.getField("block"))).alias("text_kept"),
+    )
+    return df.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )
+
+
 def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
                              min_doc_freq: int = 2) -> DataFrame:
     """(doc_id, clean_text, n_lines, n_kept) — corpus-wide boilerplate-line

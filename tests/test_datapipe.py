@@ -166,6 +166,42 @@ def test_remove_duplicate_blocks_drops_repeated_passages(spark):
     assert out[3]["n_blocks"] == 0 and out[3]["text_kept"] == ""
 
 
+def test_sliding_block_dedup_catches_unaligned_passage(spark):
+    """A passage duplicated at a NON-block offset: the disjoint-block impl
+    misses it (different block grids), the sliding-window impl drops the
+    later copy's covering blocks."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, passage + " iota kappa"),
+        # 3 fresh tokens shift the copied passage to offset 3 — it now
+        # straddles two 8-token blocks in doc 2
+        (2, "pad1 pad2 pad3 " + passage + " tail1 tail2 tail3 tail4 tail5"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # baseline: the disjoint impl misses the unaligned duplicate entirely
+    base = {r["doc_id"]: r for r in dedup.remove_duplicate_blocks(
+        docs, block_tokens=8).collect()}
+    assert base[2]["n_kept"] == base[2]["n_blocks"] == 2  # the gap, pinned
+    # sliding windows catch it: doc 2's copied run covers both its blocks
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_blocks_sliding(
+        docs, block_tokens=8).collect()}
+    assert out[1]["n_blocks"] == out[1]["n_kept"] == 2  # first copy intact
+    assert out[1]["text_kept"] == passage + " iota kappa"
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 0
+    assert out[2]["text_kept"] == ""
+    assert out[3]["n_blocks"] == 0 and out[3]["text_kept"] == ""
+
+
+def test_sliding_block_dedup_unique_corpus_is_identity(spark):
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in dedup.remove_duplicate_blocks_sliding(
+            docs, block_tokens=4).collect():
+        assert r["n_kept"] == r["n_blocks"] > 0
+
+
 def test_remove_duplicate_blocks_unique_corpus_is_identity(spark):
     rows = [(i, f"doc{i}a doc{i}b doc{i}c doc{i}d doc{i}e doc{i}f "
                 f"doc{i}g doc{i}h doc{i}i") for i in range(5)]
