@@ -416,6 +416,21 @@ def q_doc_dup_clusters(spark, sf):
         (F.col("node") == F.col("component")).alias("is_canonical"))
 
 
+def q_doc_dup_clusters_star(spark, sf):
+    """Same clusters through the O(log n)-round large-star/small-star CC
+    (graph.connected_components_star) — the adversarial-diameter path;
+    identical fixpoint, so it shares doc_dup_clusters' closure oracle."""
+    from remilia_spark.datapipe import graph
+    d = _read(spark, sf, "documents")
+    pairs = dedup.minhash_near_duplicates(d, k=3, num_perm=8, bands=4,
+                                          threshold=0.5)
+    cc = graph.connected_components_star(pairs, a="doc_a", b="doc_b")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"))
+
+
 def _dup_clusters_oracle() -> str:
     """Transitive closure over the verified near-dup pairs: min reachable
     doc_id per node == connected_components' min-label fixpoint."""
@@ -2834,7 +2849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-5 entries land here, before the stable block --
         # -- stable block (driver-green in r4) --
         "budget_window_rank": q_budget_window_rank,
-        "first_discovery_dedup": q_first_discovery_dedup,
         "robots_prefix_filter": q_robots_prefix_filter,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
@@ -2843,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_near_dup_lsh": q_doc_near_dup_lsh,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dup_clusters_star": q_doc_dup_clusters_star,
         "doc_block_dedup": q_doc_block_dedup,
         "doc_block_dedup_sw": q_doc_block_dedup_sw,
         "doc_quality_filter": q_doc_quality_filter,
@@ -2874,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver's 50-row cap falls in this region; rows below are the
         # ---- rotated-out long-stable tail (r1-era column math, green since
         # ---- round 1, locally pinned by test_entry_oracle).
+        "first_discovery_dedup": q_first_discovery_dedup,
         "seen_antijoin_dedup": q_seen_antijoin_dedup,
         "priority_topk": q_priority_topk,
         "skew_host_counts": q_skew_host_counts,
@@ -3193,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _hits_oracle(),
         "link_host_rank": _host_rank_oracle(),
         "doc_dup_clusters": _dup_clusters_oracle(),
+        "doc_dup_clusters_star": _dup_clusters_oracle(),
         "doc_block_dedup": _block_dedup_oracle(),
         "doc_block_dedup_sw": _block_dedup_sw_oracle(),
         "doc_gopher": _gopher_oracle(),

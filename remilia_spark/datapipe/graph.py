@@ -261,6 +261,101 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     return labels
 
 
+def connected_components_star(edges: DataFrame, a: str = "a", b: str = "b",
+                              max_iterations: int = 50,
+                              iters_out: list | None = None) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — the adversarial-diameter path :func:`connected_components`'s
+    docstring promises.  Same output contract: ``(node long, component
+    long)`` with ``component`` = smallest node id in the component.
+
+    Min-label propagation needs O(diameter) iterations — a chain of n
+    nodes takes n rounds.  The star algorithm contracts the graph toward
+    per-component stars centered at the minimum node in **O(log n)**
+    rounds on ANY shape:
+
+      large-star(u): connect every strictly-larger neighbor v > u to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star(u): connect every neighbor v ≤ u, and u itself, to m(u).
+
+    Both steps preserve connectivity and only ever link a node to a
+    smaller one, so the fixpoint is the star forest whose centers are the
+    component minima — read the labels straight off the edges.
+
+    Deterministic: every emitted edge is a (min, node) pair — no
+    tie-breaks, no randomness; the fixpoint is unique regardless of
+    partitioning.
+
+    Scale: each round is two groupBy-mins + two joins over the CURRENT
+    edge set, which only shrinks toward one edge per non-root node; edge
+    endpoints are longs (never payloads).  The convergence probe is one
+    tiny (count, decimal-sum) aggregate — same overflow-safe decimal
+    trick as :func:`connected_components`.
+
+    ``iters_out``: appended with the number of alternating rounds run
+    (test hook for the O(log n) claim).
+    """
+    e = edges.select(F.col(a).cast("long").alias("x"),
+                     F.col(b).cast("long").alias("y"))
+    nodes = (e.select(F.col("x").alias("node"))
+             .unionByName(e.select(F.col("y").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    # canonical undirected pairs x < y; self-loops drop (nodes kept above)
+    und = (e.where(F.col("x") != F.col("y"))
+           .select(F.least("x", "y").alias("x"),
+                   F.greatest("x", "y").alias("y"))
+           .distinct().localCheckpoint(eager=True))
+
+    def sym(E: DataFrame) -> DataFrame:
+        return E.select(F.col("x").alias("u"), F.col("y").alias("v")) \
+                .unionByName(E.select(F.col("y").alias("u"),
+                                      F.col("x").alias("v")))
+
+    def min_nbr(S: DataFrame) -> DataFrame:
+        return S.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+
+    def sig(E: DataFrame):
+        return tuple(E.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("x").cast("decimal(38,0)")),
+            F.sum(F.col("y").cast("decimal(38,0)"))).collect()[0])
+
+    prev = sig(und)
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        s1 = sym(und)
+        # large-star: (v, m(u)) for v > u; m <= u < v so (m, v) is canonical
+        large = (s1.join(min_nbr(s1), "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("m").alias("x"), F.col("v").alias("y"))
+                 .distinct())
+        s2 = sym(large)
+        # small-star: (v, m(u)) for v <= u, plus (u, m(u)); again m <= v
+        cand = (s2.where(F.col("v") <= F.col("u"))
+                .unionByName(s2.select("u").distinct()
+                             .withColumn("v", F.col("u"))))
+        und_next = (cand.join(min_nbr(s2), "u")
+                    .where(F.col("m") != F.col("v"))
+                    .select(F.col("m").alias("x"), F.col("v").alias("y"))
+                    .distinct().localCheckpoint(eager=True))
+        und = und_next
+        cur = sig(und)
+        if cur == prev:
+            break
+        prev = cur
+    if iters_out is not None:
+        iters_out.append(rounds)
+    # fixpoint edges are (component-min, member); roots label themselves
+    return (nodes.join(und.select(F.col("y").alias("node"),
+                                  F.col("x").alias("component")),
+                       "node", "left")
+            .select("node", F.coalesce("component", "node")
+                    .alias("component")))
+
+
 def connected_components_py(edge_list) -> dict[int, int]:
     """Pure-Python union-find twin — the unit-test oracle."""
     parent: dict[int, int] = {}
