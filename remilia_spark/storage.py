@@ -55,7 +55,8 @@ from .budget import BUDGETS_SCHEMA  # re-export: state-table schemas live here
 __all__ = [
     "BUDGETS_SCHEMA", "FRONTIER_SCHEMA", "FRONTIER_REV_SCHEMA", "SEEN_SCHEMA",
     "RESULTS_SCHEMA", "METRICS_SCHEMA", "LocalTable",
-    "ParquetSnapshotStorage", "SNAPSHOT_TABLES", "DELTA_TABLES",
+    "ParquetSnapshotStorage", "IcebergStorage", "SNAPSHOT_TABLES",
+    "DELTA_TABLES",
 ]
 
 SNAPSHOT_TABLES = ("frontier", "budgets", "bloom")
@@ -594,3 +595,286 @@ class InMemorySnapshotStorage:
         return _summarize_metrics(
             [r.asDict() for r in rows],
             lambda v: int(v) if v is not None else 0)
+
+
+class IcebergStorage:
+    """Third ``FrontierStorage`` impl — Apache Iceberg tables (SURVEY §4.3
+    names the design; the north rule says "persists to Iceberg").
+
+    Same commit/read protocol as :class:`ParquetSnapshotStorage`, with the
+    directory layout re-expressed as Iceberg constructs:
+
+    ========================  =========================================
+    parquet impl              Iceberg impl
+    ========================  =========================================
+    ``<table>/s=<k>`` dirs    one table per logical name, partitioned by
+                              a ``commit_s INT`` column (base and delta
+                              writes both append a new partition; the
+                              manifest's ``base``/``deltas`` chain says
+                              which partitions a read folds)
+    ``_COMMIT_<s>.json`` +    one row appended to ``<prefix>_manifest``
+    atomic rename             — an Iceberg append commit is atomic, so
+                              the manifest row IS the publish point
+    parquet footer counts     the write's snapshot-summary
+                              ``added-records`` (metadata-only)
+    ``_gc_stale_dirs``        ``DELETE WHERE commit_s = <stale>``
+                              (partition-aligned → metadata delete) +
+                              best-effort ``expire_snapshots``
+    per-partition lineage     manifest JSON (identical shape) + native
+                              ``history()`` / ``.snapshots`` metadata
+    ========================  =========================================
+
+    A compaction commit folds base+deltas into a fresh partition — the
+    declarative alternative is ``MERGE INTO`` keyed on (url_hash, url,
+    rev); this impl keeps the engine's fold plan (identical output) so
+    both backends execute the same physics.
+
+    Requires an Iceberg-enabled session: ``iceberg-spark-runtime`` on the
+    classpath and a catalog configured, e.g.::
+
+        spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.local.type = hadoop
+        spark.sql.catalog.local.warehouse = /tmp/warehouse
+
+    The sandbox ships no Iceberg jar, so the constructor probe raises
+    RuntimeError there; the storage contract suite
+    (``tests/test_storage_contract.py``) runs identical assertions over
+    every impl and skips this one when the probe fails.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str,
+                 prefix: str = "crawl", gc_keep_commits: int = 8):
+        """``namespace``: catalog-qualified namespace, e.g.
+        ``local.remilia`` (``<catalog>.<db>``)."""
+        self.spark = spark
+        self.ns = namespace
+        self.prefix = prefix
+        self.gc_keep_commits = gc_keep_commits
+        self._manifest_cache: dict[int, dict] = {}
+        try:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {self._ident('manifest')} "
+                "(superstep INT, manifest STRING) USING iceberg "
+                "PARTITIONED BY (superstep)")
+        except Exception as ex:  # pragma: no cover - needs the jar
+            raise RuntimeError(
+                "IcebergStorage needs an Iceberg-enabled SparkSession "
+                "(iceberg-spark-runtime on the classpath and the "
+                f"'{namespace.split('.')[0]}' catalog configured); the "
+                f"probe DDL failed: {ex}") from ex
+
+    def _ident(self, table: str) -> str:
+        return f"{self.ns}.{self.prefix}_{table}"
+
+    # -- commit protocol ----------------------------------------------------
+
+    def clear(self) -> None:
+        for t in (*SNAPSHOT_TABLES, *DELTA_TABLES, "quota", "manifest"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(t)}")
+        self._manifest_cache.clear()
+        self.spark.sql(
+            f"CREATE TABLE {self._ident('manifest')} "
+            "(superstep INT, manifest STRING) USING iceberg "
+            "PARTITIONED BY (superstep)")
+
+    def last_committed(self) -> int | None:
+        row = self.spark.table(self._ident("manifest")) \
+            .agg(F.max("superstep")).collect()[0][0]
+        return int(row) if row is not None else None
+
+    def has_manifest(self, s: int) -> bool:
+        if s in self._manifest_cache:
+            return True
+        return bool(self.spark.table(self._ident("manifest"))
+                    .where(F.col("superstep") == s).take(1))
+
+    def manifest(self, s: int) -> dict:
+        got = self._manifest_cache.get(s)
+        if got is None:
+            rows = (self.spark.table(self._ident("manifest"))
+                    .where(F.col("superstep") == s).collect())
+            if not rows:
+                raise FileNotFoundError(f"no manifest for superstep {s}")
+            got = json.loads(rows[0]["manifest"])
+            self._manifest_cache[s] = got
+        return got
+
+    def _ensure_table(self, name: str, df: DataFrame) -> str:
+        ident = self._ident(name)
+        if not self.spark.catalog.tableExists(ident):
+            df.limit(0).writeTo(ident).partitionedBy(F.col("commit_s")) \
+                .create()
+        return ident
+
+    def _added_rows(self, ident: str) -> int:
+        """Row count of the write that just committed — snapshot-summary
+        metadata, no data scan (the parquet impl's footer-read twin)."""
+        row = (self.spark.sql(
+            f"SELECT summary FROM {ident}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1").collect())
+        return int(row[0]["summary"].get("added-records", 0)) if row else 0
+
+    def commit(self, s: int, tables: dict[str, DataFrame],
+               extra: dict | None = None,
+               reuse: dict[str, int] | None = None,
+               delta_frontier: bool = False,
+               delta_seen: bool = True) -> dict:
+        lineage: dict[str, dict] = {}
+        for name, prev in (reuse or {}).items():
+            lineage[name] = self.manifest(prev)["tables"][name]
+        seen_is_delta = delta_seen and self.has_manifest(s - 1)
+
+        def write_one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
+            name, df = item
+            t_w0 = time.monotonic()
+            if isinstance(df, LocalTable):
+                # driver-local bounded rows (metrics): one tiny append job
+                # — Iceberg has no out-of-band file drop like the pyarrow
+                # path, but the write is a single task over ~40 rows
+                from pyspark.sql import Row
+                mk = Row(*df.field_names())
+                sdf = self.spark.createDataFrame(
+                    [mk(*r) for r in df.rows], df.schema)
+                n_local = len(df.rows)
+            else:
+                sdf, n_local = df, None
+            sdf = sdf.withColumn("commit_s", F.lit(s).cast("int"))
+            ident = self._ensure_table(name, sdf)
+            sdf.writeTo(ident).append()
+            rows = self._added_rows(ident) if n_local is None else n_local
+            return name, {"path": f"iceberg://{ident}", "commit_s": s,
+                          "files": {f"commit_s={s}": rows}, "rows": rows,
+                          "write_sec": round(time.monotonic() - t_w0, 3)}
+
+        if len(tables) > 1:
+            with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+                for name, entry in ex.map(write_one, tables.items()):
+                    lineage[name] = entry
+        else:
+            for item in tables.items():
+                name, entry = write_one(item)
+                lineage[name] = entry
+        if "frontier" in tables:
+            if delta_frontier:
+                prev = self.manifest(s - 1)["tables"]["frontier"]
+                lineage["frontier"]["base"] = prev["base"]
+                lineage["frontier"]["deltas"] = [*prev["deltas"], s]
+                lineage["frontier"]["delta_rows"] = \
+                    prev.get("delta_rows", 0) + lineage["frontier"]["rows"]
+            else:
+                lineage["frontier"]["base"] = s
+                lineage["frontier"]["deltas"] = []
+                lineage["frontier"]["delta_rows"] = 0
+        if "seen" in tables:
+            if seen_is_delta:
+                prev = self.manifest(s - 1)["tables"]["seen"]
+                lineage["seen"]["base"] = prev["base"]
+                lineage["seen"]["deltas"] = [*prev["deltas"], s]
+                lineage["seen"]["total_rows"] = \
+                    prev.get("total_rows", 0) + lineage["seen"]["rows"]
+            else:
+                lineage["seen"]["base"] = s
+                lineage["seen"]["deltas"] = []
+                lineage["seen"]["total_rows"] = lineage["seen"]["rows"]
+        manifest = {"superstep": s, "committed_at": time.time(),
+                    "tables": lineage, **(extra or {})}
+        # the atomic publish: state is visible iff this append commits
+        self.spark.createDataFrame(
+            [(s, json.dumps(manifest))], "superstep int, manifest string"
+        ).writeTo(self._ident("manifest")).append()
+        self._manifest_cache[s] = manifest
+        wrote_base = ("frontier" in tables and not delta_frontier) or \
+                     ("seen" in tables and not seen_is_delta)
+        if wrote_base and self.gc_keep_commits:
+            self._gc_stale_partitions(s)
+        return manifest
+
+    def _gc_stale_partitions(self, s: int) -> None:
+        """``expire_snapshots`` analogue at the partition level: DELETE
+        frontier/seen/budgets/bloom partitions unreferenced by the last
+        ``gc_keep_commits`` manifests.  The predicate is partition-aligned
+        so Iceberg drops files in metadata; a follow-up
+        ``expire_snapshots`` (left to table maintenance) reclaims them."""
+        keep: dict[str, set[int]] = {"frontier": set(), "seen": set(),
+                                     "budgets": set(), "bloom": set()}
+        for k in range(max(0, s - self.gc_keep_commits + 1), s + 1):
+            if not self.has_manifest(k):
+                continue
+            tabs = self.manifest(k)["tables"]
+            for t in keep:
+                ent = tabs.get(t)
+                if ent is None:
+                    continue
+                if "base" in ent:
+                    keep[t].add(int(ent["base"]))
+                    keep[t].update(int(d) for d in ent.get("deltas", ()))
+                elif "commit_s" in ent:
+                    keep[t].add(int(ent["commit_s"]))
+        for t, steps in keep.items():
+            ident = self._ident(t)
+            if not self.spark.catalog.tableExists(ident) or not steps:
+                continue
+            keep_list = ", ".join(str(k) for k in sorted(steps))
+            self.spark.sql(f"DELETE FROM {ident} "
+                           f"WHERE commit_s <= {s} "
+                           f"AND commit_s NOT IN ({keep_list})")
+
+    # -- readers (only ever through manifests) ------------------------------
+
+    def _read_steps(self, table: str, steps: list[int],
+                    schema: str | None = None) -> DataFrame:
+        df = self.spark.table(self._ident(table)) \
+            .where(F.col("commit_s").isin([int(k) for k in steps])) \
+            .drop("commit_s")
+        if schema is not None:  # pin column order to the DDL
+            names = [f.split()[0] for f in schema.split(",")]
+            df = df.select(*[n.strip() for n in names])
+        return df
+
+    def read_snapshot(self, table: str, s: int) -> DataFrame:
+        ent = self.manifest(s)["tables"][table]
+        return self._read_steps(table, [ent["commit_s"]])
+
+    def read_frontier(self, s: int) -> DataFrame:
+        ent = self.manifest(s)["tables"]["frontier"]
+        df = self._read_steps("frontier", [ent["base"], *ent["deltas"]],
+                              FRONTIER_REV_SCHEMA)
+        return fold_frontier(df, ent["base"], bool(ent["deltas"]),
+                             delta_rows=ent.get("delta_rows"))
+
+    def read_seen(self, s: int) -> DataFrame | None:
+        ent = self.manifest(s)["tables"].get("seen")
+        if ent is None:
+            return None
+        return self._read_steps("seen", [ent["base"], *ent["deltas"]],
+                                SEEN_SCHEMA)
+
+    def migrate_legacy_seen(self, s: int) -> None:
+        """No-op: the pre-r3 manifest format predates this impl, so no
+        Iceberg checkpoint can carry it."""
+
+    def read_deltas(self, table: str, up_to: int,
+                    schema: str | None = None) -> DataFrame | None:
+        ident = self._ident(table)
+        if not self.spark.catalog.tableExists(ident):
+            return None
+        steps = [r["superstep"] for r in
+                 self.spark.table(self._ident("manifest"))
+                 .where(F.col("superstep") <= up_to)
+                 .select("superstep").collect()]
+        if not steps:
+            return None
+        return self._read_steps(table, steps, schema)
+
+    def metrics_summary(self, s: int) -> dict:
+        ent = self.manifest(s)["tables"]["metrics"]
+        rows = self._read_steps("metrics", [ent["commit_s"]]).collect()
+        return _summarize_metrics(
+            [r.asDict() for r in rows],
+            lambda v: int(v) if v is not None else 0)
+
+    def history(self, table: str) -> DataFrame:
+        """Native Iceberg lineage: the table's snapshot history
+        (made_current_at, snapshot_id, parent_id, is_current_ancestor)."""
+        return self.spark.sql(f"SELECT * FROM {self._ident(table)}.history")
