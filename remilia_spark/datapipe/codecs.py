@@ -118,15 +118,38 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_hdr + info_hdr + body
 
 
+def _pil_decode(payload: bytes) -> np.ndarray | None:
+    """JPEG/PNG/WebP/… through Pillow when it is importable, else None.
+
+    Kept import-lazy and failure-soft so the pure-Python PPM/BMP codecs
+    remain the deterministic test twin everywhere (this sandbox has no
+    PIL); on a real cluster `pip install pillow` on the executors makes
+    every common web image format decode through the SAME seam with no
+    code change."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415 (optional dependency)
+    except ImportError:
+        return None
+    try:
+        with Image.open(BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None  # corrupt/truncated payload: same contract as codecs
+
+
 def decode_auto(payload: bytes) -> np.ndarray | None:
-    """Magic-byte dispatch over the supported formats; None if neither."""
+    """Magic-byte dispatch over the built-in formats, then the optional
+    Pillow branch for everything else (JPEG/PNG/... when PIL is
+    installed); None if nothing can decode it."""
     if payload is None:
         return None
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    return None
+    return _pil_decode(payload)
 
 
 def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:

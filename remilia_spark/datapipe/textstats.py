@@ -12,6 +12,7 @@ an exact ANSI-SQL twin for the DuckDB oracle.  Shared conventions:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,22 +101,91 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+_LANG_MODELS: dict = {}  # per-executor model cache, keyed by path
+
+
+def _load_lang_model(model_path: str):
+    """text -> lang callable from a model file, cached per executor.
+
+    Two formats through one seam:
+    * a fastText ``.bin`` (when the ``fasttext`` package is importable on
+      the executors) — the production path;
+    * a TSV of ``word<TAB>lang`` lines — the deterministic toy twin this
+      sandbox tests with: predict = majority vote of the words' langs
+      (lexicographically-smallest lang breaks ties), 'unknown' on zero
+      hits.
+    """
+    got = _LANG_MODELS.get(model_path)
+    if got is not None:
+        return got
+    fn = None
+    if model_path.endswith(".bin"):
+        try:
+            import fasttext  # noqa: PLC0415 (optional dependency)
+            m = fasttext.load_model(model_path)
+
+            def fn(text: str) -> str:
+                labels, _ = m.predict(text.replace("\n", " "))
+                return labels[0].removeprefix("__label__") \
+                    if labels else "unknown"
+        except ImportError:
+            fn = None
+    if fn is None:
+        vocab: dict[str, str] = {}
+        with open(model_path, encoding="utf-8") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2:
+                    vocab[parts[0].lower()] = parts[1]
+
+        def fn(text: str) -> str:  # noqa: F811 (the fallback twin)
+            votes: dict[str, int] = {}
+            for w in text.lower().split():
+                lang = vocab.get(w)
+                if lang is not None:
+                    votes[lang] = votes.get(lang, 0) + 1
+            if not votes:
+                return "unknown"
+            best = max(votes.values())
+            return min(k for k, v in votes.items() if v == best)
+    _LANG_MODELS[model_path] = fn
+    return fn
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            model_path: str | None = None) -> DataFrame:
     """Stopword-hit language ID: >= 3 distinct English stopwords -> 'en'.
 
     (A deliberately SQL-expressible n-gram-free heuristic so the oracle can
-    replicate it exactly; a real pipeline would plug fastText here — the
-    operator shape, a pure projection, stays identical.)
+    replicate it exactly; the fastText production path plugs in via
+    ``model_path`` — the operator shape, a pure projection, stays
+    identical.)
+
+    ``model_path``: when given, ``pred_lang`` comes from the model file
+    through an Arrow-batched pandas UDF (model loaded once per executor,
+    see :func:`_load_lang_model`); ``stopword_hits`` and the output schema
+    are unchanged, and the pinned column math stays the oracle default.
     """
     toks = tokens_col(F.col(text_col))
     n_tok = F.size(toks)
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     hits = F.size(F.filter(toks, lambda w: F.array_contains(stops, F.lower(w))))
-    is_en = (n_tok > 0) & (hits * 10 >= n_tok)  # >=10% stopword tokens
+    if model_path is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _pred(texts: pd.Series) -> pd.Series:
+            model = _load_lang_model(model_path)
+            return texts.fillna("").map(model)
+
+        pred = _pred(F.col(text_col))
+    else:
+        is_en = (n_tok > 0) & (hits * 10 >= n_tok)  # >=10% stopword tokens
+        pred = F.when(is_en, F.lit("en")).otherwise(F.lit("unknown"))
     return df.select(
         "doc_id",
         hits.cast("int").alias("stopword_hits"),
-        F.when(is_en, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+        pred.alias("pred_lang"),
     )
 
 

@@ -90,3 +90,46 @@ def test_stub_path_still_default(spark, media_df):
     df, _ = media_df
     rows = M.extract_features(df, dim=8).collect()
     assert len(rows) == 4 and all(len(r["feature"]) == 8 for r in rows)
+
+
+def test_pil_branch_without_pil_returns_none():
+    """Sandbox branch: no Pillow installed -> unknown magic bytes decode
+    to None through decode_auto (the PPM/BMP fast paths are untouched)."""
+    import importlib.util
+    assert importlib.util.find_spec("PIL") is None  # sandbox precondition
+    assert C.decode_auto(b"\x89PNG\r\n\x1a\nnot-a-real-png") is None
+    assert C.decode_auto(b"\xff\xd8\xff\xe0jfif-ish") is None
+
+
+def test_pil_branch_with_stub_pil(monkeypatch):
+    """With-PIL branch: a stub PIL in sys.modules proves decode_auto
+    routes non-PPM/BMP payloads through Image.open -> convert('RGB') ->
+    ndarray, i.e. installing Pillow on a cluster activates real JPEG/PNG
+    decode with no code change."""
+    import sys
+    import types
+
+    want = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+    class _Img:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return want
+
+    fake_image = types.SimpleNamespace(open=lambda fp: _Img())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image",
+                        types.ModuleType("PIL.Image"))
+    got = C.decode_auto(b"\xff\xd8\xff\xe0fake-jpeg")
+    assert np.array_equal(got, want)
+    # PPM fast path does NOT go through the stub
+    ppm = C.encode_ppm(want)
+    assert np.array_equal(C.decode_auto(ppm), want)

@@ -144,3 +144,42 @@ def test_budget_fold_unclamped_under_quota(spark, tmp_path):
     budgets = {r["host"]: r["tokens"]
                for r in st.read_snapshot("budgets", s).collect()}
     assert budgets["h0.test"] == 9
+
+
+def test_lang_id_model_seam(spark, tmp_path):
+    """textstats.lang_id(model_path=...): the fastText seam made
+    executable — a toy TSV model swaps pred_lang to a broadcast-model
+    pandas UDF with the same output schema; the pinned column math stays
+    the default."""
+    from remilia_spark.datapipe import textstats
+
+    model = tmp_path / "langs.tsv"
+    model.write_text("der\tde\ndie\tde\nthe\ten\nand\ten\nle\tfr\n")
+    docs = spark.createDataFrame(
+        [(1, "der hund die katze"), (2, "the cat and the dog"),
+         (3, "zzz qqq"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.lang_id(docs,
+                                      model_path=str(model)).collect()}
+    assert got == {1: "de", 2: "en", 3: "unknown", 4: "unknown"}
+    # schema identical to the pinned default
+    assert (textstats.lang_id(docs, model_path=str(model)).columns
+            == textstats.lang_id(docs).columns)
+
+
+def test_lm_model_seam(spark, tmp_path):
+    """lm.lm_likelihood_model: the KenLM seam made executable with the
+    TSV toy format; same schema as the pinned lm_likelihood."""
+    from remilia_spark.datapipe import lm
+
+    model = tmp_path / "bigrams.tsv"
+    model.write_text("a b\t0.5\nb c\t0.25\n<unk>\t0.1\n")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in lm.lm_likelihood_model(docs, str(model)).collect()}
+    assert got[1] == (2, 0.375)   # (0.5 + 0.25) / 2
+    assert got[2] == (1, 0.1)     # unknown bigram -> <unk>
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
