@@ -49,54 +49,74 @@ def _burn(n):  # module-level: ProcessPoolExecutor must pickle it
     return h
 
 
-def cpu_probe() -> dict:
-    """Raw parallel CPU capacity at the two levels (hardware honesty check)."""
+def _timed_burn(workers: int, n: int) -> float:
+    """units/s at ``workers`` processes, pool pre-warmed so process spawn
+    is EXCLUDED from the timing.  Round 4's probes timed the spawn too,
+    which at ~0.2s-per-burn workloads understated the 8-proc rate by
+    ~25-35% and painted a fake ~3.4x "hardware ceiling" on a host that, in
+    quiet windows, delivers the full 4x (warm-pool measurement 2->8:
+    4.0x) — the single biggest distortion in the round-4 scaling story."""
     from concurrent.futures import ProcessPoolExecutor
 
-    burn = _burn
-    out = {}
-    for workers in (1, N_LOW, N_HIGH, 32):
+    with ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_burn, [1000] * workers))  # spawn + import, untimed
         t0 = time.time()
-        with ProcessPoolExecutor(workers) as ex:
-            list(ex.map(burn, [200_000] * workers))
-        out[workers] = round(workers / (time.time() - t0), 1)
-    return out
+        list(ex.map(_burn, [600_000] * workers))
+        dt = time.time() - t0
+    return workers / dt
+
+
+def cpu_probe() -> dict:
+    """Raw parallel CPU capacity at the two levels (hardware honesty
+    check), warm-pool timed."""
+    return {w: round(_timed_burn(w, 600_000), 1)
+            for w in (1, N_LOW, N_HIGH, 32)}
 
 
 def quick_probe() -> float:
-    """Ambient-capacity snapshot (units/s at N_HIGH procs, ~2s).
+    """Ambient-capacity snapshot (units/s at N_HIGH procs, warm-pool).
 
     Run immediately before each bench subprocess; a round whose two
     snapshots disagree badly means the host's capacity shifted mid-pair
     (multi-tenant box, 2-4x swings within minutes) and the pair measures
     the tenancy weather, not the engine.
     """
-    from concurrent.futures import ProcessPoolExecutor
-
-    t0 = time.time()
-    with ProcessPoolExecutor(N_HIGH) as ex:
-        list(ex.map(_burn, [120_000] * N_HIGH))
-    return N_HIGH / (time.time() - t0)
+    return _timed_burn(N_HIGH, 600_000)
 
 
 def hw_ratio_probe() -> float:
     """How much MORE parallel CPU the host actually delivers at N_HIGH
-    procs vs N_LOW procs, right now (~4s).  The north rule assumes the two
-    cluster sizes differ by exactly 4x in delivered compute; on this
-    shared box the delivered ratio routinely sags to ~2.5-3x (SMT +
-    neighbors), which caps ANY job's measured efficiency at ratio/4
+    procs vs N_LOW procs, right now (warm-pool timed — see _timed_burn).
+    The north rule assumes the two cluster sizes differ by exactly 4x in
+    delivered compute; on this shared box (32 real vCPUs, no SMT, KVM
+    neighbors) quiet windows deliver the full 4x and stormy ones sag to
+    ~2.5-3x, which caps ANY job's measured efficiency at ratio/4
     regardless of how well the engine scales.  Recorded per pair so the
     engine's efficiency can be read against the hardware's, never in
     place of the raw number."""
-    from concurrent.futures import ProcessPoolExecutor
+    return _timed_burn(N_HIGH, 600_000) / _timed_burn(N_LOW, 600_000)
 
-    rates = {}
-    for workers in (N_LOW, N_HIGH):
-        t0 = time.time()
-        with ProcessPoolExecutor(workers) as ex:
-            list(ex.map(_burn, [150_000] * workers))
-        rates[workers] = workers / (time.time() - t0)
-    return rates[N_HIGH] / rates[N_LOW]
+
+def _pin_cpus(cpus: int) -> str | None:
+    """Fixed disjoint CPU set for a bench subprocess (taskset mask).
+
+    Mirrors a real cluster's allocation: local[N] gets N executor-thread
+    cores plus 2 slack cores for driver/GC/shuffle-io threads (both
+    levels get the same slack, so delivered task compute differs by the
+    intended 4x).  Fixed DISJOINT ranges mean every round of every hunt
+    runs on the same physical cores — scheduler migration and
+    level-to-level cache interference stop being noise terms.  Disable
+    with SPARK_GRAFT_PIN=0 (e.g. when N_HIGH + N_LOW + 4 > nproc).
+    """
+    if os.environ.get("SPARK_GRAFT_PIN", "1") != "1":
+        return None
+    if cpus == N_LOW:
+        lo, hi = 0, N_LOW + 1
+    else:
+        lo, hi = N_LOW + 2, N_LOW + 2 + cpus + 1
+    if hi >= (os.cpu_count() or 0):
+        return None
+    return f"{lo}-{hi}"
 
 
 def run_bench(cpus: int, crawl_only: bool = False) -> dict:
@@ -117,9 +137,12 @@ def run_bench(cpus: int, crawl_only: bool = False) -> dict:
     env.setdefault("SPARK_GRAFT_SHUFFLE", str(4 * cpus))
     if crawl_only:
         env["SPARK_GRAFT_BENCH_ONLY"] = "crawl"
-    out = subprocess.run(
-        [sys.executable, str(ROOT / "bench.py")], env=env,
-        capture_output=True, text=True, cwd=ROOT)
+    cmd = [sys.executable, str(ROOT / "bench.py")]
+    mask = _pin_cpus(cpus)
+    if mask is not None:
+        cmd = ["taskset", "-c", mask, *cmd]
+    out = subprocess.run(cmd, env=env,
+                         capture_output=True, text=True, cwd=ROOT)
     if out.returncode != 0:
         # surface the child's tail so a failed run is diagnosable from the
         # harness log alone (a captured-but-dropped stderr cost round 4 a
@@ -274,6 +297,33 @@ def main() -> int:
     }
     bench_dir = ROOT / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # persistent replication log: every pair of every hunt, one JSON line.
+    # The cross-hunt HEADLINE is the median over ALL admissible rounds at
+    # this config — not whatever window the latest hunt happened to catch
+    # (round-4 lesson: a single best-window capture misrepresents a noisy
+    # host; the median across hunts is the defensible number).
+    log_path = bench_dir / "scaling_rounds.jsonl"
+    cfg_key = {"scale": SCALE, "pages": BENCH_PAGES, "seeds": BENCH_SEEDS,
+               "depth": BENCH_DEPTH,
+               "pinned": os.environ.get("SPARK_GRAFT_PIN", "1") == "1",
+               "warm_probes": True}
+    with open(log_path, "a") as fh:
+        for r in report["rounds"]:
+            fh.write(json.dumps({**cfg_key, **r, "ts": int(time.time())})
+                     + "\n")
+    hist = []
+    for line in log_path.read_text().splitlines():
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if (row.get("scale") == SCALE and row.get("pages") == BENCH_PAGES
+                and row.get("admissible") and row.get("warm_probes")):
+            hist.append(float(row["eff"]))
+    hist.sort()
+    report["all_hunts_admissible_rounds"] = len(hist)
+    report["all_hunts_median"] = hist[(len(hist) - 1) // 2] if hist else None
+    report["all_hunts_range"] = [hist[0], hist[-1]] if hist else None
     md = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
         "",
@@ -345,11 +395,20 @@ def main() -> int:
         ]
     md += [
         f"**Scaling efficiency ({N_LOW}→{N_HIGH} cores): "
-        f"{report['value']}** (median over {len(used)} admissible of "
-        f"{len(pairs)} interleaved rounds; a round is admissible when the "
-        f"ambient CPU probes bracketing its two runs agree within "
-        f"{int(max_drift * 100)}% — all rounds with probes: "
-        f"{[(r['eff'], r['admissible']) for r in report['rounds']]})",
+        f"{report['all_hunts_median']}** — the REPLICATION MEDIAN over "
+        f"{report['all_hunts_admissible_rounds']} admissible rounds "
+        f"across every hunt at this config "
+        f"(range {report['all_hunts_range']}; full per-round log in "
+        f"`BENCH/scaling_rounds.jsonl`).  A round is admissible when the "
+        f"warm-pool ambient-CPU probes bracketing its two runs agree "
+        f"within {int(max_drift * 100)}%.  Runs are taskset-pinned to "
+        f"fixed disjoint CPU sets (local[{N_LOW}] -> cores 0-{N_LOW + 1}, "
+        f"local[{N_HIGH}] -> cores {N_LOW + 2}-{N_LOW + N_HIGH + 3}).",
+        "",
+        f"This hunt's own median: {report['value']} over {len(used)} "
+        f"admissible of {len(pairs)} interleaved rounds — all rounds "
+        f"(eff, admissible): "
+        f"{[(r['eff'], r['admissible']) for r in report['rounds']]}",
         "",
         f"**Hardware-delivered ceiling (median round): "
         f"{report['hw_delivered_ratio_median_round']}x** going "
