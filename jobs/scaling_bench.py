@@ -8,11 +8,12 @@ efficiency is reported as
     eff = (throughput_4N / throughput_N) / 4
 
 Default levels are ``local[2]`` vs ``local[8]`` (override with
-SPARK_GRAFT_SCALE="N,4N"): a raw-CPU probe (included in the report) shows
-this host delivers ~8 proportional cores but only ~10.6 effective cores at
-32 threads, so 8->32 measures the host's SMT/tenancy ceiling, not the
-engine; 2->8 runs on genuinely proportional hardware.  Writes
-BENCH/BASELINE.md and prints one JSON line.
+SPARK_GRAFT_SCALE="N,4N"): the box has 32 real vCPUs (1 thread/core, no
+SMT), and warm-pool probes show 2->8 processes deliver the full 4x in
+quiet windows while 8->32 sags to ~2.9x under KVM-neighbor tenancy — so
+8->32 measures the hypervisor's ceiling, not the engine; 2->8 runs on
+genuinely proportional hardware.  Writes BENCH/BASELINE.md and prints one
+JSON line.
 """
 
 from __future__ import annotations
@@ -336,11 +337,12 @@ def main() -> int:
         "efficiency is the MEDIAN over back-to-back interleaved low/high",
         "pairs; per-round numbers are in the JSON.",
         "",
-        "**Why 2 vs 8 cores and not 8 vs 32:** a raw-CPU probe (below)",
-        "shows this host scales nearly linearly to 8 processes but tops",
-        "out at ~10.6 effective cores for 32 threads (SMT + tenancy), so",
-        "8->32 would measure the hardware ceiling, not the engine. The",
-        "probe is rerun and embedded in every report.",
+        "**Why 2 vs 8 cores and not 8 vs 32:** warm-pool raw-CPU probes",
+        "(below) show this host (32 real vCPUs, no SMT) delivers the full",
+        "4x from 2->8 processes in quiet windows but only ~2.9x from",
+        "8->32 (KVM-neighbor tenancy), so 8->32 would measure the",
+        "hypervisor's ceiling, not the engine. The probe is rerun and",
+        "embedded in every report.",
         "",
         f"Input: `{SF_DIR}` (+ synthetic corpus, "
         f"{med[0].get('crawl_urls_processed', '?')} URLs processed).",
@@ -416,7 +418,7 @@ def main() -> int:
         f"immediately before the pair — i.e. the shared host itself "
         f"delivered at most {report['hw_ceiling_on_efficiency']} "
         f"efficiency to ANY perfectly-scaling job in that window "
-        f"(SMT + tenancy; per-round ratios: "
+        f"(KVM tenancy; per-round ratios: "
         f"{[r['hw_ratio'] for r in report['rounds']]}).",
         "",
         f"**Engine efficiency vs that hardware ceiling: "
