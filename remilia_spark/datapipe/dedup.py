@@ -38,19 +38,42 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles of lowercased text."""
+def _shingle_array(text_col: str, k: int):
+    """Distinct k-word shingles of lowercased text as an ARRAY column.
+    '' -> []; 0 < n_tokens < k -> the single whole-text shingle."""
     toks = F.transform(tokens_col(F.lower(F.col(text_col))),
                        lambda w: w)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(
+    return F.when(
         n >= k,
         F.array_distinct(F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
     ).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks)))
                  .otherwise(F.array().cast("array<string>")))
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def _explode_once(df: DataFrame, arr, out_cols, pos: bool = False):
+    """explode/posexplode an EXPENSIVE array expression exactly once.
+
+    A plain ``explode(arr)`` triggers ``InferFiltersFromGenerate``: the
+    optimizer adds ``size(arr) > 0 AND isnotnull(arr)`` under the Generate
+    and predicate pushdown substitutes the full array expression into the
+    filter — every row then builds the array TWICE (measured ~2x the map
+    stage on the shingle/window-hash paths).  The *_outer generators are
+    exempt from that rule; for arrays whose elements are never null (all
+    of ours — concat_ws/hash outputs), ``explode_outer`` + a null filter
+    on the output column is row-for-row identical to ``explode``: empty
+    and null arrays emit one all-null row which the filter drops.
+    """
+    gen = F.posexplode_outer(arr) if pos else F.explode_outer(arr)
+    return (df.select("doc_id", gen.alias(*out_cols))
+              .where(F.col(out_cols[-1]).isNotNull()))
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles of lowercased text."""
+    return _explode_once(df, _shingle_array(text_col, k), ["shingle"])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -104,9 +127,19 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     rounded (6dp) — thresholding a pre-rounded value would keep pairs whose
     true jaccard sits within 5e-7 below the cut, diverging from any SQL
     twin that filters ``i/u >= t``.
+
+    The shingle sets attach as per-row array projections (the shingle
+    array is already distinct) instead of the historical explode +
+    groupBy(doc_id).collect_set, which shuffled every shingle to compute
+    the same sets — intersect/union sizes are order-blind, so the results
+    are row-identical (measured ~1.7x on the bench pipeline).  The
+    non-empty gate runs on the raw text — a cheap base-column predicate
+    (shingles are empty iff trimmed text is ''/null); filtering on the
+    array column would re-evaluate the whole shingle expression inside
+    the pushed-down predicate.
     """
-    sets = shingles(df, text_col, k).groupBy("doc_id") \
-        .agg(F.collect_set("shingle").alias("sh"))
+    sets = df.where(F.length(F.trim(F.col(text_col))) > 0) \
+             .select("doc_id", _shingle_array(text_col, k).alias("sh"))
     raw = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
     return (
@@ -155,7 +188,7 @@ def remove_duplicate_blocks(df: DataFrame, text_col: str = "text",
         lambda j: F.concat_ws(
             " ", F.slice(toks, j * block_tokens + 1, block_tokens)),
     )).otherwise(F.array().cast("array<string>"))
-    rows = df.select("doc_id", F.posexplode(blocks).alias("block_idx", "block"))
+    rows = _explode_once(df, blocks, ["block_idx", "block"], pos=True)
     w = Window.partitionBy(word_hash(F.col("block"))) \
               .orderBy("doc_id", "block_idx")
     flagged = rows.withColumn("rn", F.row_number().over(w))
@@ -214,15 +247,13 @@ def remove_duplicate_blocks_sliding(df: DataFrame, text_col: str = "text",
         lambda j: F.concat_ws(
             " ", F.slice(toks, j * B + 1, B)),
     )).otherwise(F.array().cast("array<string>"))
-    rows = df.select("doc_id",
-                     F.posexplode(blocks).alias("block_idx", "block"))
+    rows = _explode_once(df, blocks, ["block_idx", "block"], pos=True)
     # stride-1 windows, hashed in-array (the text never leaves the map side)
     win_hashes = F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: word_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )).otherwise(F.array().cast("array<long>"))
-    wins = df.select("doc_id",
-                     F.posexplode(win_hashes).alias("pos", "whash"))
+    wins = _explode_once(df, win_hashes, ["pos", "whash"], pos=True)
     w = Window.partitionBy("whash").orderBy("doc_id", "pos")
     rec = wins.withColumn("rn", F.row_number().over(w)) \
               .where(F.col("rn") > 1)
@@ -410,8 +441,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     exact doubles below 2^53... we stay in integer math via shiftleft on a
     literal-free path: CAST(POW(2,b) AS BIGINT), exact for b < 63).
     """
-    toks = df.select(
-        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w"))
+    toks = _explode_once(df, tokens_col(F.lower(F.col(text_col))), ["w"])
     counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     hashed = counts.withColumn("h", word_hash(F.col("w")))
     b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
