@@ -44,20 +44,26 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     precision and rounded out of the result so the DuckDB oracle matches
     bit-for-bit on the (id, id, rank) triples.
     """
+    # norms are per-vector, so they are computed in the pre-join
+    # projections — the historical post-join expression re-derived
+    # sqrt(dot(v,v)) once per (query, corpus) pair, i.e. n_queries times
+    # per corpus vector.  Same expressions, same double-precision op
+    # order (sqrt of the self-dot, then the product), so scores are
+    # bit-identical; only WHERE they are evaluated moves.
     q = queries.select(
         F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")) \
+        .withColumn("qn", F.sqrt(_dot("qv", "qv")))
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"))
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv")) \
+        .withColumn("cn", F.sqrt(_dot("cv", "cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (_dot("qv", "cv")
-             / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
-             ).alias("cos"))
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
