@@ -24,12 +24,192 @@ Spark-side the extractor runs as ``mapInPandas`` over Arrow batches of the
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Iterator
 from html.parser import HTMLParser
 
 import pandas as pd
 
 _TEXT_TAGS = ("title", "h1", "p")
+
+# ---------------------------------------------------------------------------
+# Fast path: a regex tag tokenizer that mirrors html.parser EXACTLY for a
+# restricted input class, falling back to HTMLParser the moment anything
+# falls outside it.  The restricted class (everything else -> fallback):
+#
+# * no '&' (charrefs), no '<!' (comments/doctype/CDATA), no '<?' (PIs), no
+#   <script>/<style> (CDATA content modes) — one cheap whole-doc regex;
+# * every '<' begins a tag matched by _TAG_RE whose attribute region fully
+#   matches _ATTRS_RE (names, optionally ="double-quoted" values; quoted
+#   values may contain any char except '"' — covers hrefs with |, <, >);
+# * end tags carry no attributes.
+#
+# Within that class the start/end/data event stream (lowercased names,
+# '/>' = start+end, first-href-wins) is identical to html.parser's, so the
+# pinned extractor spec — and the byte-identical ``text`` invariant the
+# goldens and the flagship oracle depend on — is preserved bit-for-bit.
+# Pinned by a differential test (tests/test_fast_extract.py): corpus pages
+# (100% fast-path) and adversarial fuzz strings agree with HTMLParser on
+# every document the fast path accepts.  Measured ~2x the HTMLParser wall
+# on corpus HTML — the parse stage is the crawl's largest Python cost.
+# ---------------------------------------------------------------------------
+
+_GATE_RE = re.compile(r'&|<[!?]|<\s*/?\s*(?:script|style)', re.IGNORECASE)
+# attrs region: '>' inside quotes does not end the tag (html.parser's
+# tolerant scanner reads balanced quotes the same way)
+_TAG_RE = re.compile(
+    r'<(/?)([a-zA-Z][a-zA-Z0-9.\-_:]*)'
+    r'((?:"[^"]*"|\'[^\']*\'|[^>"\'])*)'
+    r'>'
+)
+# strict full-match for a start tag's attribute region; group(1) = the
+# trailing '/' of a self-closing tag
+_ATTRS_RE = re.compile(
+    r'(?:\s+[a-zA-Z][a-zA-Z0-9_:.\-]*(?:="[^"]*")?)*\s*(/?)\Z')
+_ATTR_ITER = re.compile(
+    r'\s+([a-zA-Z][a-zA-Z0-9_:.\-]*)(?:="([^"]*)")?')
+
+
+def _href_of(attrs: str) -> str | None:
+    """First href value of a validated attrs region (html.parser's
+    first-match-wins attribute loop)."""
+    for am in _ATTR_ITER.finditer(attrs):
+        if am.group(1).lower() == "href" and am.group(2) is not None:
+            return am.group(2)
+    return None
+
+
+def _extract_fast(html: str) -> tuple[list[str], str] | None:
+    """(links, text) per the pinned spec, or None -> caller falls back."""
+    if _GATE_RE.search(html):
+        return None
+    links: list[str] = []
+    d_title = d_h1 = d_p = 0
+    b_title: list[str] = []
+    b_h1: list[str] = []
+    b_p: list[str] = []
+    segments: list[str] = []
+
+    def _close(depth: int, buf: list[str]) -> int:
+        if depth:
+            depth -= 1
+            if depth == 0:
+                seg = " ".join("".join(buf).split())
+                if seg:
+                    segments.append(seg)
+        return depth
+
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        data = html[pos:m.start()]
+        if '<' in data:
+            return None
+        if data:
+            if d_title:
+                b_title.append(data)
+            if d_h1:
+                b_h1.append(data)
+            if d_p:
+                b_p.append(data)
+        close, name, attrs = m.group(1), m.group(2), m.group(3)
+        pos = m.end()
+        if close:
+            if attrs and not attrs.isspace():
+                return None
+            tag = name.lower()
+            if tag == "title":
+                d_title = _close(d_title, b_title)
+            elif tag == "h1":
+                d_h1 = _close(d_h1, b_h1)
+            elif tag == "p":
+                d_p = _close(d_p, b_p)
+            continue
+        am = _ATTRS_RE.fullmatch(attrs)
+        if am is None:
+            return None
+        selfclose = am.group(1) == '/'
+        tag = name.lower()
+        if tag == "a":
+            href = _href_of(attrs)
+            if href is not None:
+                links.append(href)
+        elif tag == "title":
+            if d_title == 0:
+                b_title = []
+            d_title += 1
+            if selfclose:
+                d_title = _close(d_title, b_title)
+        elif tag == "h1":
+            if d_h1 == 0:
+                b_h1 = []
+            d_h1 += 1
+            if selfclose:
+                d_h1 = _close(d_h1, b_h1)
+        elif tag == "p":
+            if d_p == 0:
+                b_p = []
+            d_p += 1
+            if selfclose:
+                d_p = _close(d_p, b_p)
+    tail = html[pos:]
+    if '<' in tail:
+        return None
+    if tail:
+        if d_title:
+            b_title.append(tail)
+        if d_h1:
+            b_h1.append(tail)
+        if d_p:
+            b_p.append(tail)
+    for dpt, buf in ((d_title, b_title), (d_h1, b_h1), (d_p, b_p)):
+        if dpt > 0:  # flush_open, title/h1/p order
+            seg = " ".join("".join(buf).split())
+            if seg:
+                segments.append(seg)
+    return links, "\n".join(segments)
+
+
+def _extract_anchors_fast(html: str) -> list[tuple[str, str]] | None:
+    """[(href, anchor)] per the pinned anchor spec, or None -> fallback."""
+    if _GATE_RE.search(html):
+        return None
+    anchors: list[tuple[str, str]] = []
+    href: str | None = None
+    buf: list[str] = []
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        data = html[pos:m.start()]
+        if '<' in data:
+            return None
+        if data and href is not None:
+            buf.append(data)
+        close, name, attrs = m.group(1), m.group(2), m.group(3)
+        pos = m.end()
+        if close:
+            if attrs and not attrs.isspace():
+                return None
+            if name.lower() == "a" and href is not None:
+                anchors.append((href, " ".join("".join(buf).split())))
+                href, buf = None, []
+            continue
+        am = _ATTRS_RE.fullmatch(attrs)
+        if am is None:
+            return None
+        if name.lower() == "a":
+            if href is not None:  # <a> closes an open anchor first
+                anchors.append((href, " ".join("".join(buf).split())))
+            href, buf = _href_of(attrs), []
+            if am.group(1) == '/' and href is not None:  # <a ... /> start+end
+                anchors.append((href, ""))
+                href, buf = None, []
+    tail = html[pos:]
+    if '<' in tail:
+        return None
+    if href is not None:  # EOF closes an open anchor
+        if tail:
+            buf.append(tail)
+        anchors.append((href, " ".join("".join(buf).split())))
+    return anchors
 
 # mapInPandas output schema for the parse stage (string form for Spark).
 EXTRACT_SCHEMA = "url string, links array<string>, text string"
@@ -83,6 +263,9 @@ def extract(html: bytes | str, charset: str = "utf-8") -> tuple[list[str], str]:
         return [], ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode(charset, errors="replace")
+    fast = _extract_fast(html)
+    if fast is not None:
+        return fast
     p = _Extractor()
     try:
         p.feed(html)
@@ -160,6 +343,9 @@ def extract_anchors(html: bytes | str,
         return []
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode(charset, errors="replace")
+    fast = _extract_anchors_fast(html)
+    if fast is not None:
+        return fast
     p = _AnchorExtractor()
     try:
         p.feed(html)

@@ -181,7 +181,11 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame,
         F.lit(0).alias("attempt"),
         F.lit(0).alias("next_eligible"),
         _insert_state(cfg).alias("state"),
-    )
+    ).localCheckpoint(eager=True)
+    # one materialization: without the checkpoint the canonicalize-UDF +
+    # robots + window lineage re-executed in EACH of the seed commit's
+    # concurrent table writes (frontier, seen, bloom fold) — three Python
+    # stages + shuffles of pure per-run setup latency
     seen = frontier.select(
         "url_hash", "url", F.lit(0).cast("int").alias("first_seen_superstep"))
     return frontier, seen
@@ -628,53 +632,85 @@ def run_superstep(
             F.lit(0).cast("long").alias("k2")))
         .coalesce(max(1, min(8, cfg.shuffle_partitions)))
     )
-    grouped = (
+    grouped_plan = (
         wave.select(F.lit(0).alias("src"),
                     F.spark_partition_id().cast("long").alias("k1"),
                     F.col("next_eligible").cast("long").alias("k2"))
         .unionByName(flags)
         .groupBy("src", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    # The collect runs in a driver thread and the row -> metrics decoding
+    # happens lazily inside the commit's concurrent write pool (the
+    # LocalTable resolves when the metrics file is written), so this
+    # aggregate overlaps the 5-6 table-write jobs instead of standing as
+    # its own serial ~0.5-1.5 s wall in front of the commit — a fixed
+    # per-superstep latency no core count amortized.  The inputs are all
+    # checkpointed, so the job is a shallow scan over in-memory blocks;
+    # atomicity is unchanged (manifest publishes after metrics is on
+    # disk) and the stats read back AFTER commit() returns.
+    import threading
+    _box: dict = {}
+
+    def _collect_grouped():
+        try:
+            _box["rows"] = grouped_plan.collect()
+        except BaseException as e:  # surfaced at resolve() time
+            _box["err"] = e
+    _th = threading.Thread(target=_collect_grouped, daemon=True)
+    _th.start()
     t_metrics = time.monotonic()
-    part_counts: dict[int, int] = {}
-    wave_hist: dict[int, int] = {}
-    retry_hist: dict[int, int] = {}
-    n_wave = n_retry = n_failed = n_new_rows = n_blocked = n_fetched = 0
-    for r in grouped:
-        k1, k2, n = int(r["k1"]), int(r["k2"]), int(r["n"])
-        if r["src"] == 0:
-            part_counts[k1] = part_counts.get(k1, 0) + n
-            wave_hist[k2] = wave_hist.get(k2, 0) + n
-            n_wave += n
-        elif r["src"] == 3:
-            if k1:
-                n_fetched += n
-        elif r["src"] == 1:
-            if k1:
-                retry_hist[k2] = retry_hist.get(k2, 0) + n
-                n_retry += n
+    mx: dict = {}
+
+    def _decode_metrics() -> list:
+        _th.join()
+        if "err" in _box:
+            raise _box["err"]
+        part_counts: dict[int, int] = {}
+        wave_hist: dict[int, int] = {}
+        retry_hist: dict[int, int] = {}
+        n_wave = n_retry = n_failed = n_new_rows = n_blocked = n_fetched = 0
+        for r in _box["rows"]:
+            k1, k2, n = int(r["k1"]), int(r["k2"]), int(r["n"])
+            if r["src"] == 0:
+                part_counts[k1] = part_counts.get(k1, 0) + n
+                wave_hist[k2] = wave_hist.get(k2, 0) + n
+                n_wave += n
+            elif r["src"] == 3:
+                if k1:
+                    n_fetched += n
+            elif r["src"] == 1:
+                if k1:
+                    retry_hist[k2] = retry_hist.get(k2, 0) + n
+                    n_retry += n
+                else:
+                    n_failed += n
             else:
-                n_failed += n
-        else:
-            n_new_rows += n
-            if k1:
-                n_blocked += n
-    budget_deferred = n_eligible - n_wave
-    nones = (None,) * 7
-    metrics_rows = [(s, pid, n) + nones
-                    for pid, n in sorted(part_counts.items())]
-    metrics_rows.append((s, -1, n_wave, n_cand, n_cand - n_new_rows,
-                         n_blocked, budget_deferred, wall_ms, n_retry,
-                         n_failed))
-    # next_eligible histograms ride as metrics rows so the engine derives
-    # the NEXT superstep's head driver-side -- no frontier_head Spark job
-    # between busy supersteps.  Encoding: partition_id = -1000 - ne for
-    # wave rows leaving pending, -2000 - ne for retries re-entering it.
-    metrics_rows += [(s, -1000 - ne, n) + nones
-                     for ne, n in sorted(wave_hist.items())]
-    metrics_rows += [(s, -2000 - ne, n) + nones
-                     for ne, n in sorted(retry_hist.items())]
+                n_new_rows += n
+                if k1:
+                    n_blocked += n
+        mx.update(part_counts=part_counts, wave_hist=wave_hist,
+                  retry_hist=retry_hist, n_wave=n_wave, n_retry=n_retry,
+                  n_failed=n_failed, n_new_rows=n_new_rows,
+                  n_blocked=n_blocked, n_fetched=n_fetched,
+                  budget_deferred=n_eligible - n_wave)
+        nones = (None,) * 7
+        metrics_rows = [(s, pid, n) + nones
+                        for pid, n in sorted(part_counts.items())]
+        metrics_rows.append((s, -1, n_wave, n_cand, n_cand - n_new_rows,
+                             n_blocked, mx["budget_deferred"], wall_ms,
+                             n_retry, n_failed))
+        # next_eligible histograms ride as metrics rows so the engine
+        # derives the NEXT superstep's head driver-side -- no
+        # frontier_head Spark job between busy supersteps.  Encoding:
+        # partition_id = -1000 - ne for wave rows leaving pending,
+        # -2000 - ne for retries re-entering it.
+        metrics_rows += [(s, -1000 - ne, n) + nones
+                         for ne, n in sorted(wave_hist.items())]
+        metrics_rows += [(s, -2000 - ne, n) + nones
+                         for ne, n in sorted(retry_hist.items())]
+        if bloom_saturated:
+            metrics_rows.append((s, -3, int(n_seen)) + nones)
+        return metrics_rows
     # seen-filter saturation watchdog (driver math, no Spark job): past the
     # design point the prefilter degrades toward pass-through — every
     # candidate flagged "maybe seen" pays the exact anti-join again.  The
@@ -689,12 +725,11 @@ def run_superstep(
         bloom_keys_per_bucket, bloom_saturated = saturation_watch(cfg, n_seen)
     else:
         bloom_keys_per_bucket, bloom_saturated = 0.0, False
-    if bloom_saturated:
-        metrics_rows.append((s, -3, int(n_seen)) + nones)
     # driver-local rows commit without a Spark job (see LocalTable) — a
     # parallelize + distributed write of ~40 rows measured ~5 s/superstep
-    # of pure scheduling under load
-    metrics = LocalTable(metrics_rows, METRICS_SCHEMA)
+    # of pure scheduling under load.  rows_fn defers to _decode_metrics so
+    # the collect above overlaps the other write jobs inside commit().
+    metrics = LocalTable(None, METRICS_SCHEMA, rows_fn=_decode_metrics)
 
     # seen compaction: periodically fold base + delta chain + this delta
     # into a fresh base so the anti-join read side stays a bounded file set
@@ -746,21 +781,25 @@ def run_superstep(
                    delta_seen=not seen_compact)
     t_commit = time.monotonic()
 
-    # this superstep's newly-seen count == its new_rows count (seen is
-    # keyed by url_hash/url and new_rows are already seen-deduped), so no
-    # manifest read-back is needed
-    n_new = n_new_rows
+    # the deferred metrics decode ran inside commit() (the manifest is
+    # only published after the metrics table resolves), so mx is filled
+    # by now; this superstep's newly-seen count == its new_rows count
+    # (seen is keyed by url_hash/url and new_rows are already
+    # seen-deduped), so no manifest read-back is needed
+    n_wave, n_fetched = mx["n_wave"], mx["n_fetched"]
+    n_new = mx["n_new_rows"]
+    n_blocked = mx["n_blocked"]
     # Derive the NEXT superstep's head from the histograms collected with
     # the metrics aggregate above — the engine loop pays zero
     # frontier_head (or metrics read-back) jobs between busy supersteps.
     hist_next = dict(head["hist"])
-    for ne, n in wave_hist.items():               # granted rows left pending
+    for ne, n in mx["wave_hist"].items():         # granted rows left pending
         left = hist_next.get(ne, 0) - n
         if left > 0:
             hist_next[ne] = left
         else:
             hist_next.pop(ne, None)
-    for ne, n in retry_hist.items():              # retries re-enter pending
+    for ne, n in mx["retry_hist"].items():        # retries re-enter pending
         hist_next[ne] = hist_next.get(ne, 0) + n
     new_pending = n_new - n_blocked
     if new_pending > 0:
@@ -792,8 +831,8 @@ def run_superstep(
         "t_commit": round(t_commit - t_mat, 2),
         "bloom_keys_per_bucket": round(bloom_keys_per_bucket, 1),
         "bloom_saturated": bloom_saturated,
-        "deduped": n_cand - n_new_rows, "robots_blocked": n_blocked,
-        "budget_deferred": budget_deferred, "wall_ms": wall_ms,
+        "deduped": n_cand - n_new, "robots_blocked": n_blocked,
+        "budget_deferred": mx["budget_deferred"], "wall_ms": wall_ms,
         # by construction equals (pending - wave) + retries + new_pending
         "pending_after": head_next["pending"],
     }

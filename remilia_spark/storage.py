@@ -90,9 +90,23 @@ class LocalTable:
     round-tripping ~40 rows through ``parallelize`` + a distributed
     write measured a flat ~5 s/superstep of pure job scheduling under
     load — the single largest slice of the commit wall at fixture scale.
+
+    ``rows_fn`` (optional, pass ``rows=None``): a callable resolving to
+    the row list, evaluated at write time inside the commit's concurrent
+    write pool.  Lets the caller overlap the driver-side aggregate that
+    PRODUCES the rows with the other tables' write jobs — the metrics
+    collect was a serial ~0.5-1.5 s/superstep wall in front of the commit
+    at every core count.  Atomicity is unchanged: the manifest still
+    publishes only after every table, metrics included, is on disk.
     """
-    rows: list
+    rows: list | None
     schema: str  # DDL string, e.g. METRICS_SCHEMA
+    rows_fn: object = None  # () -> list, resolved at write time
+
+    def resolve(self) -> list:
+        if self.rows is None:
+            self.rows = list(self.rows_fn())
+        return self.rows
 
     def field_names(self) -> list[str]:
         return [p.strip().rsplit(" ", 1)[0] for p in self.schema.split(",")]
@@ -263,19 +277,22 @@ class ParquetSnapshotStorage:
                 path = self._table_dir(name, s)
             if isinstance(df, LocalTable):
                 # driver-local rows: one pyarrow file, zero Spark jobs —
-                # the read side is identical parquet
+                # the read side is identical parquet.  resolve() may block
+                # on a deferred producer (the metrics collect), which then
+                # overlaps the sibling write jobs in this pool.
                 import pyarrow as pa
                 import shutil
+                rows = df.resolve()
                 shutil.rmtree(path, ignore_errors=True)
                 path.mkdir(parents=True, exist_ok=True)
                 arrow = _ddl_to_arrow(df.schema)
-                cols = {f.name: [r[i] for r in df.rows]
+                cols = {f.name: [r[i] for r in rows]
                         for i, f in enumerate(arrow)}
                 pq.write_table(pa.table(cols, schema=arrow),
                                str(path / "part-00000.parquet"))
                 return name, {"path": str(path),
-                              "files": {"part-00000.parquet": len(df.rows)},
-                              "rows": len(df.rows),
+                              "files": {"part-00000.parquet": len(rows)},
+                              "rows": len(rows),
                               "write_sec": round(
                                   time.monotonic() - t_w0, 3)}
             df.write.mode("overwrite").parquet(str(path))
@@ -515,7 +532,7 @@ class InMemorySnapshotStorage:
             if isinstance(df, LocalTable):
                 from pyspark.sql import Row
                 mk = Row(*df.field_names())
-                rows = [mk(*r) for r in df.rows]
+                rows = [mk(*r) for r in df.resolve()]
                 self._data[(name, s)] = (df.schema, rows)
                 lineage[name] = {"path": f"mem://{name}/{s}", "step": s,
                                  "files": {f"mem-{s}": len(rows)},
@@ -734,9 +751,10 @@ class IcebergStorage:
                 # path, but the write is a single task over ~40 rows
                 from pyspark.sql import Row
                 mk = Row(*df.field_names())
+                local_rows = df.resolve()
                 sdf = self.spark.createDataFrame(
-                    [mk(*r) for r in df.rows], df.schema)
-                n_local = len(df.rows)
+                    [mk(*r) for r in local_rows], df.schema)
+                n_local = len(local_rows)
             else:
                 sdf, n_local = df, None
             sdf = sdf.withColumn("commit_s", F.lit(s).cast("int"))
