@@ -35,10 +35,16 @@ from remilia_spark.datapipe.textstats import tokens_col
 
 def _term_doc_tf(df: DataFrame, text_col: str) -> DataFrame:
     """(term, doc_id, tf) — one row per distinct term per document."""
+    # explode_outer + null filter: a plain explode of the (expensive)
+    # token expression triggers InferFiltersFromGenerate, whose pushed-down
+    # size() predicate re-evaluates the tokenization per row (see
+    # dedup._explode_once); split elements are never null, so this is
+    # row-for-row identical
     return (
         df.select("doc_id",
-                  F.explode(tokens_col(F.lower(F.col(text_col))))
+                  F.explode_outer(tokens_col(F.lower(F.col(text_col))))
                   .alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )

@@ -76,10 +76,14 @@ def _doc_bigrams(toks: DataFrame) -> DataFrame:
     """(doc_id, pos, w1, w2) — rows only for docs with >= 2 tokens (the
     ``sequence(0, size-2)`` guard; callers restore empty docs by joining
     back to the full doc list)."""
+    # explode_outer + null filter: the inferred size() filter under a
+    # plain explode would rebuild the bigram-struct array per row (see
+    # dedup._explode_once); struct elements are never null
     return (
         toks.where(F.size("t") >= 2)
-        .select("doc_id", F.explode(F.expr(_BIGRAMS_TMPL.format(t="t")))
+        .select("doc_id", F.explode_outer(F.expr(_BIGRAMS_TMPL.format(t="t")))
                 .alias("b"))
+        .where(F.col("b").isNotNull())
         .select("doc_id", "b.pos", "b.w1", "b.w2")
     )
 

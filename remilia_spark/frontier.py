@@ -98,13 +98,22 @@ _NORM_SCHEMA = StructType([StructField(c, StringType())
 
 
 @F.pandas_udf(_NORM_SCHEMA)
-def _canonicalize(href: pd.Series, base: pd.Series) -> pd.DataFrame:
+def _canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.DataFrame:
     """Canonical (url, host, path) in ONE Arrow pass — host/path must come
     from the same urlsplit as the URL (never Spark ``parse_url``: ANSI-mode
     java.net.URI throws INVALID_URL on chars like ``|``/``<``/``"`` that the
     reference's accept regex admits, and even try_parse_url would diverge
     from the Python oracle's hostname on such rows)."""
     return urlnorm.normalize_parts_frame(href, base)
+
+
+# The function is pure and deterministic; the nondeterministic FLAG only
+# stops the optimizer duplicating it (guide-§4.4 pathology, measured): the
+# candidate pipeline filters on ``np.url IS NOT NULL`` — a filter over a
+# UDF-computed column — and the pushed-down filter re-evaluated the whole
+# canonicalization per link (TWO ArrowEvalPython nodes in the executed
+# plan, pinned before/after in plans/r06/crawl_cand_canonicalize_*.txt).
+_canonicalize = _canonicalize_udf.asNondeterministic()
 
 
 def _clean_np(df, cfg: CrawlConfig):
