@@ -58,8 +58,13 @@ _PARSE_SCHEMA = (
     "host_rank int, links array<string>, text string"
 )
 
+_NORM_FIELD = ("links_norm array<struct"
+               "<url:string,host:string,path:string>>")
+
+
 def _parse_batches_factory(layer_fns=None, charset: str = "utf-8",
-                           hdr_cols: tuple[str, ...] = ()):
+                           hdr_cols: tuple[str, ...] = (),
+                           norm_below_depth: int | None = None):
     """Build the parse-stage mapInPandas fn.
 
     ``layer_fns[depth]`` is a user extractor ``(html_bytes, url) ->
@@ -71,23 +76,65 @@ def _parse_batches_factory(layer_fns=None, charset: str = "utf-8",
     passed through so post-parse hooks can read the request headers of
     the response they transform (the reference's response hooks see the
     originating request, client.go:235-253).
+
+    ``norm_below_depth`` (set iff no post-parse hooks are registered):
+    additionally emit ``links_norm`` — each href canonicalized in THIS
+    Python pass (``urlnorm.normalize_parts``, index-aligned with
+    ``links``; rejected hrefs hold an all-null struct) for rows with
+    depth < the bound, ``[]`` above it (their links are discarded
+    anyway).  The discovery pipeline then needs no second Python stage
+    per superstep — the candidate job is explode + JVM hash/dedup over
+    the checkpointed parse output.  Gated on hooks because a hook that
+    rewrites ``links`` would silently desync the precomputed column; the
+    hook path keeps the historical post-parse canonicalize UDF.
     """
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        norm_parts = urlnorm.normalize_parts
+        abs_of = urlnorm.base_independent_key
+
+        def norm_struct(href, u, memo):
+            # memo key: the href alone when RFC 3986 resolution cannot
+            # read the base (absolute http/https/ftp with a netloc —
+            # base-independence fuzz-pinned in tests/test_canon_memo.py),
+            # else (href, base).  Collapses the per-batch duplicate mass:
+            # same-page duplicate links and every cross-page repeat of an
+            # absolute href canonicalize once per Arrow batch.
+            k = abs_of(href) or (href, u)
+            got = memo.get(k)
+            if got is None:
+                p = norm_parts(href, u)
+                got = ({"url": None, "host": None, "path": None}
+                       if p is None else
+                       {"url": p[0], "host": p[1], "path": p[2]})
+                memo[k] = got
+            return got
+
         for pdf in batches:
             links, texts = [], []
+            norms: list = [] if norm_below_depth is not None else None
+            memo: dict = {}
             for h, u, d in zip(pdf["html"], pdf["url"], pdf["depth"]):
                 fn = None
                 if layer_fns is not None and 0 <= d < len(layer_fns):
                     fn = layer_fns[d]
                 ls, tx = fn(bytes(h) if h is not None else b"", u) \
                     if fn is not None else extract(h, charset)
-                links.append(list(ls))
+                ls = list(ls)
+                links.append(ls)
                 texts.append(tx)
+                if norms is not None:
+                    if d < norm_below_depth:
+                        norms.append([norm_struct(href, u, memo)
+                                      for href in ls])
+                    else:
+                        norms.append([])
             out = pdf[["url", "url_hash", "depth", "discovery_order",
                        "host_rank", *hdr_cols]].copy()
             out["links"] = links
             out["text"] = texts
+            if norms is not None:
+                out["links_norm"] = norms
             yield out
 
     return parse
@@ -392,12 +439,19 @@ def run_superstep(
         hits = pages.select("url", "html").join(wave_join, "url", "inner")
 
     # ---- parse (R19) + results --------------------------------------------
+    # no post-parse hooks (the common case): hrefs canonicalize inside the
+    # SAME Python pass that extracted them, so the discovery pipeline pays
+    # zero additional Python stages (see _parse_batches_factory)
+    use_norm = not post_parse_hooks
     parse_schema = _PARSE_SCHEMA + "".join(f", {c} string" for c in hdr_cols)
+    if use_norm:
+        parse_schema += ", " + _NORM_FIELD
     parsed = hits.select(
         "url", "url_hash", "depth", "discovery_order", "host_rank", "html",
         *hdr_cols
-    ).mapInPandas(_parse_batches_factory(layer_fns, cfg.charset, hdr_cols),
-                  parse_schema)
+    ).mapInPandas(_parse_batches_factory(
+        layer_fns, cfg.charset, hdr_cols,
+        norm_below_depth=cfg.max_depth if use_norm else None), parse_schema)
     for hook in post_parse_hooks or ():  # R14: response-hook chain
         parsed = hook(parsed)
     parsed = parsed.localCheckpoint(eager=True)  # one parse pass, ever
@@ -409,16 +463,27 @@ def run_superstep(
     )
 
     # ---- discover next wave (R7/R8/R16/R20) -------------------------------
-    link_rows = parsed.where(F.col("depth") < cfg.max_depth).select(
-        F.col("url").alias("parent_url"),
-        F.col("url_hash").alias("parent_hash"),
-        F.col("depth").alias("parent_depth"),
-        F.col("discovery_order").alias("parent_order"),
-        F.posexplode("links").alias("link_index", "href"),
-    )
+    if use_norm:
+        # links_norm is index-aligned with links (rejected hrefs are
+        # all-null structs), so posexploding it yields the same
+        # (link_index, np) stream the canonicalize UDF produced — with
+        # no Python stage in this job at all
+        link_rows = parsed.where(F.col("depth") < cfg.max_depth).select(
+            F.col("url_hash").alias("parent_hash"),
+            F.col("depth").alias("parent_depth"),
+            F.col("discovery_order").alias("parent_order"),
+            F.posexplode("links_norm").alias("link_index", "np"),
+        )
+    else:
+        link_rows = parsed.where(F.col("depth") < cfg.max_depth).select(
+            F.col("url").alias("parent_url"),
+            F.col("url_hash").alias("parent_hash"),
+            F.col("depth").alias("parent_depth"),
+            F.col("discovery_order").alias("parent_order"),
+            F.posexplode("links").alias("link_index", "href"),
+        ).withColumn("np", _canonicalize("href", "parent_url"))
     cand = (
         link_rows
-        .withColumn("np", _canonicalize("href", "parent_url"))
         .transform(lambda df: _clean_np(df, cfg))
         .where(F.col("np.url").isNotNull())
         # in-batch dedup: first discovery wins — min (parent_order,

@@ -390,3 +390,22 @@ def normalize_parts_frame(hrefs: pd.Series, bases: pd.Series) -> pd.DataFrame:
 
 def host_series(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: host_of(u) if u is not None else None)
+
+
+def base_independent_key(href: str | None) -> str | None:
+    """``href`` itself when ``normalize_parts(href, base)`` provably cannot
+    depend on ``base`` — an absolute http/https/ftp reference with a
+    non-empty authority (RFC 3986 §5.2.2: a reference with scheme and
+    authority is used as-is; Python's urljoin matches, fuzz-pinned in
+    tests/test_canon_memo.py) — else None.  Lets per-batch memoization
+    collapse cross-page repeats of absolute links."""
+    if not href:
+        return None
+    hl = href[:8].lower()
+    if hl.startswith("http://"):
+        return href if href[7:8] not in ("", "/") else None
+    if hl.startswith("https://"):
+        return href if href[8:9] not in ("", "/") else None
+    if hl.startswith("ftp://"):
+        return href if href[6:7] not in ("", "/") else None
+    return None
